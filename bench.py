@@ -1,0 +1,132 @@
+#!/usr/bin/env python
+"""Headline benchmark: edges/s/chip on a ZINC-shaped NestedGIN_eff training
+step (the reference's flagship workload, `zinc_models.py:504-611`).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "edges/s", "vs_baseline": N}
+
+`vs_baseline` divides by A100_PYG_EDGES_PER_S — a provisional estimate of
+the reference implementation's A100 training throughput on the same
+workload (PyG GINEConv, 5 layers, hidden 256, batch 128 ZINC graphs).
+The reference repo publishes no numbers and no GPU is available here to
+measure it; the estimate is marked and should be replaced by a measured
+value (see BASELINE.md). vs_baseline > 1 means faster than that estimate.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+# Provisional reference throughput denominator (see module docstring).
+A100_PYG_EDGES_PER_S = 1.0e6
+
+
+def make_zinc_like_graphs(num=128, seed=0):
+    """ZINC-subset-shaped synthetic molecules: ~23 heavy atoms, sparse
+    bonds, 28 node types, 4 edge types (dataset stats of ZINC-12k)."""
+    from escgnn_tpu.data.container import GraphData
+    from escgnn_tpu.featurize.escgnn import EscConfig
+    from escgnn_tpu.featurize.transform import featurize_many
+
+    rng = np.random.default_rng(seed)
+    graphs = []
+    for _ in range(num):
+        n = int(rng.integers(18, 30))
+        # random connected sparse graph: a path + a few chords (molecule-like)
+        a = np.arange(n - 1)
+        src = [a, a + 1]
+        extra = max(2, n // 6)
+        c1 = rng.integers(0, n, extra)
+        c2 = (c1 + rng.integers(2, 5, extra)) % n
+        src = np.concatenate([a, c1])
+        dst = np.concatenate([a + 1, c2])
+        keep = src != dst
+        src, dst = src[keep], dst[keep]
+        ei = np.stack(
+            [np.concatenate([src, dst]), np.concatenate([dst, src])]
+        ).astype(np.int32)
+        g = GraphData(
+            num_nodes=n,
+            edge_index=ei,
+            x=rng.integers(0, 28, n).astype(np.int32)[:, None],
+            edge_attr=rng.integers(1, 4, ei.shape[1]).astype(np.int32),
+            y=rng.normal(size=(1,)).astype(np.float32),
+        )
+        graphs.append(g)
+    cfg = EscConfig(h=3, use_rd=True, self_loop=True)
+    return featurize_many(graphs, cfg, num_workers=8)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from escgnn_tpu.data.batching import BatchSpec, pad_and_batch
+    from escgnn_tpu.models.nested_gin_eff import NestedGINEff, NestedGINEffConfig
+    from escgnn_tpu.train.loop import (
+        TrainState,
+        adam_with_plateau,
+        l1_graph_loss,
+        make_train_step,
+    )
+
+    batch_size = 128
+    graphs = make_zinc_like_graphs(num=batch_size)
+    spec = BatchSpec.from_graphs(graphs, batch_size=batch_size)
+    batch = jax.tree.map(jnp.asarray, pad_and_batch(graphs, spec))
+    real_edges = int(np.sum([g.num_edges for g in graphs]))
+
+    model = NestedGINEff(
+        NestedGINEffConfig(
+            hidden=256,
+            num_layers=5,
+            dropout=0.0,
+            act="elu",
+            graph_pred=True,
+            pool="add",
+            use_x_embedding_jk=False,
+            head_order="dropout_act",
+            node_embed_vocab=100,
+            node_embed_dim=32,
+            edge_embed_vocab=100,
+            edge_embed_dim=32,
+        )
+    )
+    rng = jax.random.key(0)
+    variables = model.init(rng, batch)
+    state = TrainState.create(
+        variables["params"], variables.get("batch_stats", {}), adam_with_plateau(5e-4)
+    )
+    step = make_train_step(model, l1_graph_loss)
+
+    # warmup/compile
+    state, loss = step(state, batch, rng)
+    jax.block_until_ready(loss)
+
+    n_iter = 50
+    t0 = time.perf_counter()
+    for i in range(n_iter):
+        rng, sub = jax.random.split(rng)
+        state, loss = step(state, batch, sub)
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+
+    steps_per_s = n_iter / dt
+    edges_per_s = real_edges * steps_per_s
+    print(
+        json.dumps(
+            {
+                "metric": "zinc_nestedgin_eff_trainstep_edges_per_s_per_chip",
+                "value": round(edges_per_s, 1),
+                "unit": "edges/s",
+                "vs_baseline": round(edges_per_s / A100_PYG_EDGES_PER_S, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,84 @@
+"""Featurized-dataset disk cache.
+
+Plays the role of PyG's `processed_<variant>/data_*.pt` caches keyed by
+config in the reference (`kernel/datasets.py:32-45`, `run_zinc.py:156-178`):
+one .npz per (dataset, split, EscConfig.cache_key()), holding the ragged
+arrays of every graph concatenated with offset tables.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+import numpy as np
+
+from escgnn_tpu.data.container import GraphData
+
+_FIELDS = ("x", "edge_attr", "y", "pos", "enc_idx", "enc_cnt")
+
+
+def save_graphs(path: str, graphs: Sequence[GraphData]) -> None:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    out: dict[str, np.ndarray] = {}
+    out["num_nodes"] = np.asarray([g.num_nodes for g in graphs], np.int64)
+    out["num_edges"] = np.asarray([g.num_edges for g in graphs], np.int64)
+    out["edge_index"] = np.concatenate(
+        [g.edge_index for g in graphs], axis=1
+    ).astype(np.int32)
+    for f in _FIELDS:
+        vals = [getattr(g, f) for g in graphs]
+        if vals[0] is not None:
+            out[f] = np.concatenate([np.asarray(v) for v in vals], axis=0)
+            out[f + "_len"] = np.asarray([len(np.asarray(v)) for v in vals], np.int64)
+    if graphs[0].enc_offsets is not None:
+        out["enc_nnz_per_edge"] = np.concatenate(
+            [np.diff(g.enc_offsets) for g in graphs]
+        ).astype(np.int64)
+    np.savez_compressed(path, **out)
+
+
+def load_graphs(path: str) -> list[GraphData]:
+    z = np.load(path)
+    nn_, ne = z["num_nodes"], z["num_edges"]
+    G = len(nn_)
+    e_off = np.concatenate([[0], np.cumsum(ne)])
+    f_off = {}
+    for f in _FIELDS:
+        if f in z.files:
+            f_off[f] = np.concatenate([[0], np.cumsum(z[f + "_len"])])
+    if "enc_nnz_per_edge" in z.files:
+        nnz = z["enc_nnz_per_edge"]
+    graphs = []
+    for i in range(G):
+        kw = {}
+        for f, off in f_off.items():
+            kw[f] = z[f][off[i]:off[i + 1]]
+        enc_offsets = None
+        if "enc_nnz_per_edge" in z.files:
+            row_nnz = nnz[e_off[i]:e_off[i + 1]]
+            enc_offsets = np.concatenate([[0], np.cumsum(row_nnz)])
+        graphs.append(
+            GraphData(
+                num_nodes=int(nn_[i]),
+                edge_index=z["edge_index"][:, e_off[i]:e_off[i + 1]],
+                enc_offsets=enc_offsets,
+                **kw,
+            )
+        )
+    return graphs
+
+
+def cached_featurize(
+    cache_dir: str,
+    name: str,
+    build_fn,
+    force: bool = False,
+) -> list[GraphData]:
+    """Load `<cache_dir>/<name>.npz` or build via `build_fn()` and save."""
+    path = os.path.join(cache_dir, name + ".npz")
+    if os.path.exists(path) and not force:
+        return load_graphs(path)
+    graphs = build_fn()
+    save_graphs(path, graphs)
+    return graphs

@@ -1,0 +1,181 @@
+"""Shared neural layers.
+
+Parity notes vs the reference (torch / PyG):
+  * `MaskedBatchNorm` excludes padding rows from batch statistics — with
+    ragged torch batches every row is real, so masking is exactly what
+    makes the padded TPU batches match (running stats follow torch
+    conventions: biased variance for normalization, unbiased for the
+    running update, momentum 0.1).
+  * `GINEConv` implements PyG's GINEConv with `train_eps=True` and an
+    `edge_dim -> in_channels` projection:
+        out = mlp((1 + eps) * x + sum_{(j->i)} relu(x_j + lin(e_ji)))
+    (PyG GINEConv.message / GINEConv.forward; used by the reference at
+    e.g. `run_graphcount.py:77-109`). Aggregation is a masked sorted
+    segment-sum instead of PyG's scatter.
+  * Initializers match torch defaults so from-scratch training is
+    comparable: Linear = kaiming-uniform(a=sqrt(5)) == U(+-1/sqrt(fan_in))
+    for both kernel and bias; Embedding = N(0, 1).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from escgnn_tpu.ops.segment import segment_sum
+
+
+def torch_linear_kernel_init(key, shape, dtype=jnp.float32):
+    """U(-1/sqrt(fan_in), 1/sqrt(fan_in)) — torch nn.Linear default."""
+    fan_in = shape[0]
+    bound = 1.0 / jnp.sqrt(fan_in)
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def torch_linear_bias_init(fan_in: int):
+    def init(key, shape, dtype=jnp.float32):
+        bound = 1.0 / jnp.sqrt(fan_in)
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+class TorchDense(nn.Module):
+    """nn.Dense with torch nn.Linear's default initialization."""
+
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        fan_in = x.shape[-1]
+        kernel = self.param(
+            "kernel", torch_linear_kernel_init, (fan_in, self.features)
+        )
+        y = jnp.dot(x, kernel, preferred_element_type=jnp.float32)
+        if self.use_bias:
+            bias = self.param(
+                "bias", torch_linear_bias_init(fan_in), (self.features,)
+            )
+            y = y + bias
+        return y
+
+
+class MaskedBatchNorm(nn.Module):
+    """BatchNorm1d over rows with a validity mask.
+
+    Matches torch BatchNorm1d semantics: normalize with biased batch
+    variance in training, update running stats with the unbiased variance,
+    momentum 0.1, eps 1e-5, affine.
+    """
+
+    momentum: float = 0.1
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, mask=None, use_running_average: bool = False):
+        features = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (features,))
+        bias = self.param("bias", nn.initializers.zeros, (features,))
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros(features, jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones(features, jnp.float32)
+        )
+
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            xf = x.astype(jnp.float32)
+            if mask is None:
+                n = jnp.asarray(x.shape[0], jnp.float32)
+                mean = jnp.mean(xf, axis=0)
+                var = jnp.mean(jnp.square(xf - mean), axis=0)
+            else:
+                m = mask.astype(jnp.float32)[:, None]
+                n = jnp.maximum(jnp.sum(m), 1.0)
+                mean = jnp.sum(xf * m, axis=0) / n
+                var = jnp.sum(jnp.square(xf - mean) * m, axis=0) / n
+            if not self.is_initializing():
+                unbiased = var * n / jnp.maximum(n - 1.0, 1.0)
+                ra_mean.value = (
+                    (1 - self.momentum) * ra_mean.value + self.momentum * mean
+                )
+                ra_var.value = (
+                    (1 - self.momentum) * ra_var.value + self.momentum * unbiased
+                )
+
+        y = (x - mean) * jax.lax.rsqrt(var + self.eps)
+        return y * scale + bias
+
+
+class MLP(nn.Module):
+    """The reference's Sequential pattern:
+    [Linear -> Dropout -> BN -> act] per hidden layer.
+
+    `pre_act=True` prepends Dropout -> BN -> act before the first Linear
+    (the z_embedding head shape, reference `run_graphcount.py:54-61`).
+    """
+
+    features: Sequence[int]
+    dropout: float = 0.0
+    act: Callable = nn.relu
+    pre_act: bool = False
+
+    @nn.compact
+    def __call__(self, x, mask=None, *, deterministic: bool, use_running_average: bool):
+        def block_tail(h):
+            h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+            h = MaskedBatchNorm()(h, mask, use_running_average)
+            return self.act(h)
+
+        if self.pre_act:
+            x = block_tail(x)
+        for f in self.features:
+            x = TorchDense(f)(x)
+            x = block_tail(x)
+        return x
+
+
+class GINEConv(nn.Module):
+    """PyG-semantics GINEConv over a padded edge list (see module docstring)."""
+
+    mlp: nn.Module
+    edge_dim: Optional[int] = None  # project edge features to in_channels
+
+    @nn.compact
+    def __call__(
+        self,
+        x,
+        senders,
+        receivers,
+        edge_emb,
+        edge_mask,
+        node_mask=None,
+        *,
+        deterministic: bool,
+        use_running_average: bool,
+    ):
+        in_ch = x.shape[-1]
+        eps = self.param("eps", nn.initializers.zeros, ())
+        if self.edge_dim is not None:
+            edge_emb = TorchDense(in_ch, name="lin_edge")(edge_emb)
+        msg = nn.relu(jnp.take(x, senders, axis=0) + edge_emb)
+        agg = segment_sum(
+            msg,
+            receivers,
+            num_segments=x.shape[0],
+            mask=edge_mask,
+            indices_are_sorted=True,
+        )
+        out = (1.0 + eps) * x + agg
+        return self.mlp(
+            out,
+            node_mask,
+            deterministic=deterministic,
+            use_running_average=use_running_average,
+        )

@@ -1,0 +1,173 @@
+"""NestedGIN_eff — the flagship ESC-GNN model family.
+
+One configurable flax module covering the reference's per-benchmark
+variants:
+  * counting (node-level, ReLU, x_embedding prepended to the JK concat) —
+    reference `run_graphcount.py:39-194`;
+  * ZINC (graph-level, ELU, node/edge type embeddings, z_emb concatenated
+    with an edge-type embedding, add-pool) — reference
+    `zinc_models.py:504-611`;
+  * generic dense-feature graph/node regression (kernel/gin.py family).
+
+The structural embedding path is shared: per-edge weighted gather over the
+1800-row z_initial table (TPU-native replacement of the reference's
+gather + global_add_pool at `zinc_models.py:590` / `run_graphcount.py:155`),
+then the z_embedding MLP; the result is the edge feature of every GINE
+layer over the original graph.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from escgnn_tpu.data.container import GraphBatch
+from escgnn_tpu.models.layers import MLP, MaskedBatchNorm, TorchDense
+from escgnn_tpu.ops.segment import segment_mean, segment_sum
+from escgnn_tpu.ops.zemb import zemb_weighted_gather
+from escgnn_tpu.models.layers import GINEConv
+
+
+@dataclasses.dataclass(frozen=True)
+class NestedGINEffConfig:
+    hidden: int = 256
+    num_layers: int = 5
+    dropout: float = 0.0
+    z_dim: int = 1800
+    out_dim: int = 1
+    act: str = "relu"  # relu (counting) | elu (zinc/qm9)
+    graph_pred: bool = False  # False -> node-level head
+    pool: str = "mean"  # mean | add (graph_pred only)
+    use_x_embedding_jk: bool = True  # counting variant: extra JK entry
+    head_order: str = "act_dropout"  # act_dropout (count) | dropout_act (zinc)
+    # input featurization
+    node_embed_vocab: int = 0  # >0: x are int type ids -> Embedding(vocab, dim)
+    node_embed_dim: int = 32
+    edge_embed_vocab: int = 0  # >0: concat edge-type embedding onto z_emb
+    edge_embed_dim: int = 32
+    compute_dtype: str = "float32"  # float32 | bfloat16 for conv stacks
+
+
+def _act(name: str):
+    return {"relu": nn.relu, "elu": nn.elu}[name]
+
+
+class NestedGINEff(nn.Module):
+    cfg: NestedGINEffConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        batch: GraphBatch,
+        *,
+        deterministic: bool = True,
+        use_running_average: bool = True,
+    ):
+        cfg = self.cfg
+        act = _act(cfg.act)
+        kw = dict(
+            deterministic=deterministic, use_running_average=use_running_average
+        )
+        H = cfg.hidden
+        node_mask = batch.node_mask
+        edge_mask = batch.edge_mask
+
+        # --- node input features ---
+        x = batch.x
+        if cfg.node_embed_vocab:
+            emb = nn.Embed(
+                cfg.node_embed_vocab,
+                cfg.node_embed_dim,
+                embedding_init=nn.initializers.normal(1.0),
+                name="node_type_embedding",
+            )
+            x = emb(x.astype(jnp.int32).reshape(x.shape[0]))
+        x = x.astype(jnp.float32)
+
+        # --- per-edge structural embedding ---
+        z_table = self.param(
+            "z_initial", nn.initializers.normal(1.0), (cfg.z_dim, H)
+        )
+        z_emb = zemb_weighted_gather(z_table, batch.enc_idx, batch.enc_cnt)
+        z_emb = MLP(
+            features=(H,), dropout=cfg.dropout, act=act, pre_act=True,
+            name="z_embedding",
+        )(z_emb, edge_mask, **kw)
+        if cfg.edge_embed_vocab:
+            eemb = nn.Embed(
+                cfg.edge_embed_vocab,
+                cfg.edge_embed_dim,
+                embedding_init=nn.initializers.normal(1.0),
+                name="edge_type_embedding",
+            )
+            ea = batch.edge_attr
+            z_emb = jnp.concatenate(
+                [z_emb, eemb(ea.astype(jnp.int32).reshape(ea.shape[0]))], axis=-1
+            )
+
+        cdt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+
+        # --- GINE stack over the original graph ---
+        def conv(name):
+            return GINEConv(
+                mlp=MLP(features=(H, H), dropout=cfg.dropout, act=act),
+                edge_dim=z_emb.shape[-1],
+                name=name,
+            )
+
+        xs = []
+        if cfg.use_x_embedding_jk:
+            x0 = MLP(
+                features=(H, H), dropout=cfg.dropout, act=act,
+                name="x_embedding",
+            )(batch.x.astype(jnp.float32), node_mask, **kw)
+            xs.append(x0)
+
+        hcur = conv("conv1")(
+            x.astype(cdt),
+            batch.senders,
+            batch.receivers,
+            z_emb.astype(cdt),
+            edge_mask,
+            node_mask,
+            **kw,
+        )
+        xs.append(hcur)
+        for i in range(cfg.num_layers - 1):
+            hcur = conv(f"conv{i + 2}")(
+                hcur.astype(cdt),
+                batch.senders,
+                batch.receivers,
+                z_emb.astype(cdt),
+                edge_mask,
+                node_mask,
+                **kw,
+            )
+            xs.append(hcur)
+
+        h = jnp.concatenate([a.astype(jnp.float32) for a in xs], axis=-1)
+
+        # --- head ---
+        if cfg.graph_pred:
+            G = batch.num_graphs
+            if cfg.pool == "add":
+                h = segment_sum(h, batch.node_graph, G, mask=node_mask)
+            else:
+                h = segment_mean(h, batch.node_graph, G, mask=node_mask)
+            head_mask = batch.graph_mask
+        else:
+            head_mask = node_mask
+
+        h = TorchDense(H, name="lin1")(h)
+        h = MaskedBatchNorm(name="bn_lin1")(h, head_mask, use_running_average)
+        if cfg.head_order == "act_dropout":
+            h = act(h)
+            h = nn.Dropout(cfg.dropout, deterministic=deterministic)(h)
+        else:
+            h = nn.Dropout(cfg.dropout, deterministic=deterministic)(h)
+            h = act(h)
+        h = TorchDense(cfg.out_dim, name="lin2")(h)
+        return h

@@ -1,0 +1,131 @@
+"""Masked segment reductions — the gather/scatter substrate.
+
+These fill the role torch_scatter's `scatter_add/mean/min/max` and PyG's
+`global_add_pool`/`global_mean_pool` play in the reference (used throughout,
+e.g. reference `zinc_models.py:5`, `run_graphcount.py:155`): every pooling
+and message aggregation in the framework reduces to one of these.
+
+TPU notes:
+  * `jax.ops.segment_sum` lowers to an XLA scatter-add. With edges sorted
+    by segment id at collate time we pass `indices_are_sorted=True`, which
+    lets XLA use a cheaper implementation.
+  * All ops take an explicit validity mask instead of relying on "out of
+    range ids are dropped" tricks, so padding policy lives in one place.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def _apply_mask(values: jax.Array, mask: Optional[jax.Array], fill=0.0) -> jax.Array:
+    if mask is None:
+        return values
+    m = mask.reshape(mask.shape + (1,) * (values.ndim - mask.ndim))
+    return jnp.where(m, values, jnp.asarray(fill, dtype=values.dtype))
+
+
+def segment_sum(
+    values: jax.Array,
+    segment_ids: jax.Array,
+    num_segments: int,
+    mask: Optional[jax.Array] = None,
+    indices_are_sorted: bool = False,
+) -> jax.Array:
+    """sum_i values[i] into rows segment_ids[i]; masked-out rows contribute 0."""
+    values = _apply_mask(values, mask)
+    return jax.ops.segment_sum(
+        values,
+        segment_ids,
+        num_segments=num_segments,
+        indices_are_sorted=indices_are_sorted,
+    )
+
+
+def segment_mean(
+    values: jax.Array,
+    segment_ids: jax.Array,
+    num_segments: int,
+    mask: Optional[jax.Array] = None,
+    indices_are_sorted: bool = False,
+) -> jax.Array:
+    """Masked segment mean; empty segments yield 0."""
+    s = segment_sum(values, segment_ids, num_segments, mask, indices_are_sorted)
+    if mask is None:
+        ones = jnp.ones(values.shape[0], dtype=s.dtype)
+    else:
+        ones = mask.astype(s.dtype)
+    cnt = jax.ops.segment_sum(
+        ones, segment_ids, num_segments=num_segments,
+        indices_are_sorted=indices_are_sorted,
+    )
+    cnt = jnp.maximum(cnt, 1.0)
+    return s / cnt.reshape(cnt.shape + (1,) * (s.ndim - 1))
+
+
+def segment_max(
+    values: jax.Array,
+    segment_ids: jax.Array,
+    num_segments: int,
+    mask: Optional[jax.Array] = None,
+    indices_are_sorted: bool = False,
+    empty_value: float = 0.0,
+) -> jax.Array:
+    """Masked segment max; empty segments yield `empty_value`."""
+    neg = jnp.asarray(jnp.finfo(values.dtype).min, dtype=values.dtype)
+    values = _apply_mask(values, mask, fill=neg)
+    out = jax.ops.segment_max(
+        values, segment_ids, num_segments=num_segments,
+        indices_are_sorted=indices_are_sorted,
+    )
+    return jnp.where(out <= neg, jnp.asarray(empty_value, out.dtype), out)
+
+
+def segment_min(
+    values: jax.Array,
+    segment_ids: jax.Array,
+    num_segments: int,
+    mask: Optional[jax.Array] = None,
+    indices_are_sorted: bool = False,
+    empty_value: float = 0.0,
+) -> jax.Array:
+    pos = jnp.asarray(jnp.finfo(values.dtype).max, dtype=values.dtype)
+    values = _apply_mask(values, mask, fill=pos)
+    out = jax.ops.segment_min(
+        values, segment_ids, num_segments=num_segments,
+        indices_are_sorted=indices_are_sorted,
+    )
+    return jnp.where(out >= pos, jnp.asarray(empty_value, out.dtype), out)
+
+
+def segment_softmax(
+    logits: jax.Array,
+    segment_ids: jax.Array,
+    num_segments: int,
+    mask: Optional[jax.Array] = None,
+    indices_are_sorted: bool = False,
+) -> jax.Array:
+    """Numerically stable softmax within segments (for attention pooling)."""
+    mx = segment_max(logits, segment_ids, num_segments, mask, indices_are_sorted)
+    logits = logits - mx[segment_ids]
+    ex = jnp.exp(logits)
+    ex = _apply_mask(ex, mask)
+    denom = segment_sum(ex, segment_ids, num_segments, None, indices_are_sorted)
+    denom = jnp.maximum(denom, jnp.asarray(1e-16, denom.dtype))
+    return ex / denom[segment_ids]
+
+
+def masked_mean(values: jax.Array, mask: jax.Array, axis=None) -> jax.Array:
+    """Mean of `values` over positions where mask is true."""
+    m = mask.reshape(mask.shape + (1,) * (values.ndim - mask.ndim))
+    s = jnp.sum(jnp.where(m, values, 0.0), axis=axis)
+    n = jnp.maximum(jnp.sum(m, axis=axis), 1)
+    return s / n
+
+
+def gather(values: jax.Array, idx: jax.Array) -> jax.Array:
+    """Row gather values[idx] (alias, kept for symmetry)."""
+    return jnp.take(values, idx, axis=0)

@@ -1,0 +1,148 @@
+"""Training loop building blocks.
+
+Mirrors the reference driver skeleton (`run_graphcount.py:483-613`):
+Adam + L1 loss + ReduceLROnPlateau + best-val tracking — re-expressed as a
+jitted train step (optax, donated state) and a host-side plateau
+controller feeding the learning rate through `optax.inject_hyperparams`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from escgnn_tpu.data.container import GraphBatch
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    @classmethod
+    def create(cls, params, batch_stats, tx):
+        return cls(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=tx.init(params),
+            tx=tx,
+        )
+
+
+def adam_with_plateau(lr: float) -> optax.GradientTransformation:
+    """Adam with an externally controlled learning rate
+    (torch.optim.Adam defaults: b1=0.9 b2=0.999 eps=1e-8)."""
+    return optax.inject_hyperparams(optax.adam)(learning_rate=lr)
+
+
+def set_learning_rate(state: TrainState, lr: float) -> TrainState:
+    """Host-side learning-rate override (plateau scheduler hook)."""
+    opt_state = state.opt_state
+    opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+    return state.replace(opt_state=opt_state)
+
+
+def get_learning_rate(state: TrainState) -> float:
+    return float(state.opt_state.hyperparams["learning_rate"])
+
+
+@dataclasses.dataclass
+class PlateauScheduler:
+    """ReduceLROnPlateau (mode=min), matching torch semantics used at
+    reference `run_graphcount.py:479-480`."""
+
+    factor: float = 0.9
+    patience: int = 10
+    min_lr: float = 1e-5
+    best: Optional[float] = None
+    num_bad: int = 0
+
+    def step(self, metric: float, lr: float) -> float:
+        if self.best is None or metric < self.best:
+            self.best = metric
+            self.num_bad = 0
+            return lr
+        self.num_bad += 1
+        if self.num_bad > self.patience:
+            self.num_bad = 0
+            return max(lr * self.factor, self.min_lr)
+        return lr
+
+
+def l1_node_loss(out: jax.Array, batch: GraphBatch) -> jax.Array:
+    """Masked mean-absolute-error over real nodes (node-level tasks)."""
+    err = jnp.abs(out - batch.y)
+    m = batch.node_mask.astype(err.dtype)[:, None]
+    return jnp.sum(err * m) / jnp.maximum(jnp.sum(m) * err.shape[-1], 1.0)
+
+
+def l1_graph_loss(out: jax.Array, batch: GraphBatch) -> jax.Array:
+    err = jnp.abs(out - batch.y)
+    m = batch.graph_mask.astype(err.dtype)[:, None]
+    return jnp.sum(err * m) / jnp.maximum(jnp.sum(m) * err.shape[-1], 1.0)
+
+
+def make_train_step(
+    model,
+    loss_fn: Callable[[jax.Array, GraphBatch], jax.Array],
+):
+    """Build the jitted train step: forward (train mode, mutable BN stats),
+    grads, Adam update. Donates state for in-place buffers."""
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, batch: GraphBatch, rng: jax.Array):
+        def compute(params):
+            out, mut = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch,
+                deterministic=False,
+                use_running_average=False,
+                mutable=["batch_stats"],
+                rngs={"dropout": rng},
+            )
+            return loss_fn(out, batch), mut["batch_stats"]
+
+        (loss, new_stats), grads = jax.value_and_grad(compute, has_aux=True)(
+            state.params
+        )
+        updates, new_opt = state.tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return (
+            state.replace(
+                step=state.step + 1,
+                params=new_params,
+                batch_stats=new_stats,
+                opt_state=new_opt,
+            ),
+            loss,
+        )
+
+    return train_step
+
+
+def make_eval_step(model, node_level: bool = True):
+    """Jitted eval: returns (sum |err|, count) over real rows so the caller
+    accumulates an exact dataset MAE across fixed-shape batches."""
+
+    @jax.jit
+    def eval_step(params, batch_stats, batch: GraphBatch):
+        out = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch,
+            deterministic=True,
+            use_running_average=True,
+        )
+        mask = batch.node_mask if node_level else batch.graph_mask
+        err = jnp.abs(out - batch.y) * mask[:, None]
+        return jnp.sum(err), jnp.sum(mask) * out.shape[-1]
+
+    return eval_step
