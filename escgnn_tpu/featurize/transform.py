@@ -59,6 +59,8 @@ def featurize_many(
     (the reference fans out with pqdm, `dataset_zinc.py:77-78`)."""
     fn = partial(esc_transform, cfg=cfg, self_loop_fill=self_loop_fill)
     if num_workers and num_workers > 1 and len(graphs) > 8:
-        with mp.get_context("spawn").Pool(num_workers) as pool:
+        # fork, not spawn: workers run pure numpy (no jax), and spawn
+        # re-imports __main__ which breaks stdin-script and REPL callers.
+        with mp.get_context("fork").Pool(num_workers) as pool:
             return pool.map(fn, graphs, chunksize=32)
     return [fn(g) for g in graphs]

@@ -1,0 +1,248 @@
+"""OGB molecule models — the GNN / GNN_node_efficient family.
+
+Capability mirror of reference `ogb_mol_gnn.py`:
+  * AtomEncoder / BondEncoder: sums of per-feature embeddings over the
+    OGB categorical feature vocabularies (`ogb_mol_gnn.py:264-296`).
+  * GINConvEff (`ogb_mol_gnn.py:323-358`): GIN conv whose edge embedding
+    is BondEncoder(edge_attr) + Linear(z_emb) — the ESC structural
+    encoding enters every layer through `edge_encoder_pos`.
+  * GNNNodeEfficient (`ogb_mol_gnn.py:614-792`): shared z_emb across
+    layers, per-layer virtual-node broadcast + add-pool update, BN,
+    dropout (no ReLU on last layer), optional residual, JK last/sum.
+  * GNN wrapper (`ogb_mol_gnn.py:66-261`): graph pooling zoo
+    (sum/mean/max/attention/combine-with-PNA-scalers) + prediction head.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from escgnn_tpu.data.container import GraphBatch
+from escgnn_tpu.models.layers import MLP, MaskedBatchNorm, TorchDense
+from escgnn_tpu.ops.segment import (
+    segment_max,
+    segment_mean,
+    segment_min,
+    segment_softmax,
+    segment_sum,
+)
+from escgnn_tpu.ops.zemb import zemb_weighted_gather
+
+# OGB categorical vocab sizes (ogb.utils.features get_atom/bond_feature_dims)
+ATOM_FEATURE_DIMS = (119, 4, 12, 12, 10, 6, 6, 2, 2)
+BOND_FEATURE_DIMS = (5, 6, 2)
+
+
+class FeatureSumEncoder(nn.Module):
+    """Sum of one embedding table per categorical feature column."""
+
+    vocab_sizes: Sequence[int]
+    emb_dim: int
+
+    @nn.compact
+    def __call__(self, feats):  # (N, num_feats) int
+        out = 0.0
+        for i, vocab in enumerate(self.vocab_sizes):
+            emb = nn.Embed(
+                vocab,
+                self.emb_dim,
+                embedding_init=nn.initializers.variance_scaling(
+                    1.0, "fan_avg", "uniform"
+                ),  # xavier_uniform, as in OGB's encoders
+                name=f"emb_{i}",
+            )
+            out = out + emb(feats[:, i].astype(jnp.int32))
+        return out
+
+
+class GINConvEff(nn.Module):
+    """GIN conv with Bond + structural edge embeddings (see module doc)."""
+
+    emb_dim: int
+
+    @nn.compact
+    def __call__(
+        self, x, senders, receivers, edge_attr, z_emb, edge_mask,
+        *, deterministic: bool, use_running_average: bool,
+    ):
+        eps = self.param("eps", nn.initializers.zeros, ())
+        e = FeatureSumEncoder(
+            BOND_FEATURE_DIMS, self.emb_dim, name="edge_encoder"
+        )(edge_attr)
+        e = e + TorchDense(self.emb_dim, name="edge_encoder_pos")(z_emb)
+        msg = nn.relu(jnp.take(x, senders, axis=0) + e)
+        agg = segment_sum(
+            msg, receivers, num_segments=x.shape[0], mask=edge_mask,
+            indices_are_sorted=True,
+        )
+        h = (1.0 + eps) * x + agg
+        # mlp: Linear(d, 2d) -> BN -> ReLU -> Linear(2d, d)
+        h = TorchDense(2 * self.emb_dim, name="mlp_0")(h)
+        h = MaskedBatchNorm(name="mlp_bn")(h, None, use_running_average)
+        h = nn.relu(h)
+        return TorchDense(self.emb_dim, name="mlp_1")(h)
+
+
+@dataclasses.dataclass(frozen=True)
+class OgbGNNConfig:
+    num_tasks: int = 1
+    num_layers: int = 5
+    emb_dim: int = 300
+    dropout: float = 0.5
+    virtual_node: bool = True
+    residual: bool = False
+    jk: str = "last"  # last | sum
+    graph_pooling: str = "mean"  # sum | mean | max | attention | combine
+    z_dim: int = 1800
+
+
+class GNNNodeEfficient(nn.Module):
+    cfg: OgbGNNConfig
+
+    @nn.compact
+    def __call__(
+        self, batch: GraphBatch, *, deterministic: bool, use_running_average: bool,
+    ):
+        cfg = self.cfg
+        d = cfg.emb_dim
+        N = batch.num_nodes
+        G = batch.num_graphs
+        node_mask, edge_mask = batch.node_mask, batch.edge_mask
+        kw = dict(
+            deterministic=deterministic, use_running_average=use_running_average
+        )
+
+        h = FeatureSumEncoder(ATOM_FEATURE_DIMS, d, name="node_encoder")(
+            batch.x.astype(jnp.int32)
+        )
+
+        z_table = self.param(
+            "z_initial", nn.initializers.normal(1.0), (cfg.z_dim, d)
+        )
+        z_emb = zemb_weighted_gather(z_table, batch.enc_idx, batch.enc_cnt)
+        z_emb = MLP(
+            features=(d,), dropout=cfg.dropout, act=nn.relu, pre_act=True,
+            name="z_embedding",
+        )(z_emb, edge_mask, **kw)
+
+        if cfg.virtual_node:
+            vn = jnp.zeros((G, d), h.dtype) + self.param(
+                "virtualnode_embedding", nn.initializers.zeros, (d,)
+            )
+
+        h_list = [h]
+        for layer in range(cfg.num_layers):
+            hcur = h_list[layer]
+            if cfg.virtual_node:
+                hcur = hcur + jnp.take(vn, batch.node_graph, axis=0)
+                h_list[layer] = hcur
+            h = GINConvEff(d, name=f"conv{layer}")(
+                hcur, batch.senders, batch.receivers, batch.edge_attr,
+                z_emb, edge_mask, **kw,
+            )
+            h = MaskedBatchNorm(name=f"batch_norm{layer}")(
+                h, node_mask, use_running_average
+            )
+            if layer == cfg.num_layers - 1:
+                h = nn.Dropout(cfg.dropout, deterministic=deterministic)(h)
+            else:
+                h = nn.Dropout(cfg.dropout, deterministic=deterministic)(
+                    nn.relu(h)
+                )
+            if cfg.residual:
+                h = h + h_list[layer]
+            h_list.append(h)
+
+            if cfg.virtual_node and layer < cfg.num_layers - 1:
+                vn_tmp = (
+                    segment_sum(
+                        h_list[layer], batch.node_graph, G, mask=node_mask
+                    )
+                    + vn
+                )
+                vn_new = MLP(
+                    features=(2 * d, d), dropout=0.0, act=nn.relu,
+                    name=f"mlp_virtualnode_{layer}",
+                )(vn_tmp, batch.graph_mask, **kw)
+                vn_new = nn.Dropout(cfg.dropout, deterministic=deterministic)(
+                    vn_new
+                )
+                vn = vn + vn_new if cfg.residual else vn_new
+
+        if cfg.jk == "last":
+            return h_list[-1]
+        return sum(h_list[: cfg.num_layers])
+
+
+def _std_pool(h, ids, G, mask):
+    mean = segment_mean(h, ids, G, mask=mask)
+    sq = segment_mean(h * h, ids, G, mask=mask)
+    return jnp.sqrt(jnp.maximum(sq - mean * mean, 0.0) + 1e-5)
+
+
+class OgbGNN(nn.Module):
+    """GNN wrapper: node embeddings -> graph pooling -> prediction head."""
+
+    cfg: OgbGNNConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        batch: GraphBatch,
+        *,
+        deterministic: bool = True,
+        use_running_average: bool = True,
+    ):
+        cfg = self.cfg
+        kw = dict(
+            deterministic=deterministic, use_running_average=use_running_average
+        )
+        h = GNNNodeEfficient(cfg, name="gnn_node")(batch, **kw)
+        ids, G, mask = batch.node_graph, batch.num_graphs, batch.node_mask
+
+        if cfg.graph_pooling == "sum":
+            g = segment_sum(h, ids, G, mask=mask)
+        elif cfg.graph_pooling == "mean":
+            g = segment_mean(h, ids, G, mask=mask)
+        elif cfg.graph_pooling == "max":
+            g = segment_max(h, ids, G, mask=mask)
+        elif cfg.graph_pooling == "attention":
+            gate = TorchDense(2 * cfg.emb_dim, name="gate_0")(h)
+            gate = MaskedBatchNorm(name="gate_bn")(
+                gate, mask, use_running_average
+            )
+            gate = TorchDense(1, name="gate_1")(nn.relu(gate))[:, 0]
+            w = segment_softmax(gate, ids, G, mask=mask)
+            g = segment_sum(h * w[:, None], ids, G, mask=mask)
+        elif cfg.graph_pooling == "combine":
+            # PNA-style aggregator x scaler zoo (`ogb_mol_gnn.py:224-248`):
+            # [mean, max, min, std] x [identity, amplification, attenuation]
+            agg = jnp.concatenate(
+                [
+                    segment_mean(h, ids, G, mask=mask),
+                    segment_max(h, ids, G, mask=mask),
+                    segment_min(h, ids, G, mask=mask),
+                    _std_pool(h, ids, G, mask),
+                ],
+                axis=-1,
+            )
+            deg = segment_sum(mask.astype(h.dtype), ids, G)[:, None]
+            logd = jnp.log(deg + 1.0)
+            avg_logd = jnp.sum(logd * deg) / jnp.maximum(jnp.sum(deg), 1.0)
+            g = jnp.concatenate(
+                [agg, agg * logd / avg_logd, agg * avg_logd / (logd + 1e-6)],
+                axis=-1,
+            )
+            g = TorchDense(cfg.emb_dim, name="graph_nn_0")(g)
+            g = nn.relu(g)
+            g = TorchDense(cfg.emb_dim, name="graph_nn_1")(g)
+            g = nn.relu(g)
+        else:
+            raise ValueError(cfg.graph_pooling)
+
+        return TorchDense(cfg.num_tasks, name="graph_pred_linear")(g)

@@ -1,0 +1,46 @@
+"""Orbax checkpointing.
+
+Covers the reference's checkpoint story (`run_ogb_mol.py:440-452,504-510`):
+periodic save every k epochs, best-val save, resume (continue_from), and
+checkpoint ensembling at eval.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    def __init__(self, directory: str, max_to_keep: int = 20):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self._mgr = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep, create=True
+            ),
+        )
+
+    def save(self, step: int, tree: Any, force: bool = False) -> None:
+        self._mgr.save(step, args=ocp.args.StandardSave(tree), force=force)
+        self._mgr.wait_until_finished()
+
+    def restore(self, step: Optional[int] = None, template: Any = None) -> Any:
+        step = step if step is not None else self._mgr.latest_step()
+        if step is None:
+            return None
+        if template is not None:
+            return self._mgr.restore(
+                step, args=ocp.args.StandardRestore(template)
+            )
+        return self._mgr.restore(step)
+
+    def all_steps(self):
+        return self._mgr.all_steps()
+
+    @property
+    def latest_step(self):
+        return self._mgr.latest_step()

@@ -91,6 +91,33 @@ def l1_graph_loss(out: jax.Array, batch: GraphBatch) -> jax.Array:
     return jnp.sum(err * m) / jnp.maximum(jnp.sum(m) * err.shape[-1], 1.0)
 
 
+def ce_graph_loss(out: jax.Array, batch: GraphBatch) -> jax.Array:
+    """Masked softmax cross-entropy over real graphs (classification)."""
+    labels = batch.y.reshape(-1).astype(jnp.int32)
+    logp = jax.nn.log_softmax(out, axis=-1)
+    nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+    m = batch.graph_mask.astype(nll.dtype)
+    return jnp.sum(nll * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+
+def make_accuracy_step(model):
+    """Jitted classification eval: (num_correct, num_real)."""
+
+    @jax.jit
+    def acc_step(params, batch_stats, batch: GraphBatch):
+        out = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch,
+            deterministic=True,
+            use_running_average=True,
+        )
+        pred = jnp.argmax(out, axis=-1)
+        correct = (pred == batch.y.reshape(-1).astype(jnp.int32)) & batch.graph_mask
+        return jnp.sum(correct), jnp.sum(batch.graph_mask)
+
+    return acc_step
+
+
 def make_train_step(
     model,
     loss_fn: Callable[[jax.Array, GraphBatch], jax.Array],

@@ -47,14 +47,16 @@ from escgnn_tpu.train.loop import (
 
 def build_datasets(args):
     dcfg = CountingDatasetConfig(
-        num_graphs=args.num_graphs, seed=args.data_seed
+        num_graphs=args.num_graphs,
+        seed=args.data_seed,
+        task="graphlet" if args.dataset == "count_graphlet" else "cycle",
     )
     ecfg = EscConfig(h=args.h, use_rd=True, self_loop=True)
     splits = generate_counting_graphs(dcfg)
     out = {}
     for name, graphs in splits.items():
         out[name] = cached_featurize(
-            os.path.join(args.data_dir, "count_cycle"),
+            os.path.join(args.data_dir, args.dataset),
             f"{name}_n{dcfg.num_graphs}_s{dcfg.seed}_{ecfg.cache_key()}",
             lambda graphs=graphs: featurize_many(
                 graphs, ecfg, num_workers=args.num_workers
@@ -68,7 +70,11 @@ def build_datasets(args):
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--target", type=int, default=0, help="0..3 -> 3..6-cycles")
+    p.add_argument("--target", type=int, default=0, help="0..3 -> 3..6-cycles "
+                   "(count_cycle) / tailed-tri, chordal, 4-clique, P4 "
+                   "(count_graphlet)")
+    p.add_argument("--dataset", default="count_cycle",
+                   choices=["count_cycle", "count_graphlet"])
     p.add_argument("--h", type=int, default=3)
     p.add_argument("--layers", type=int, default=5)
     p.add_argument("--hidden", type=int, default=256)
@@ -86,7 +92,7 @@ def main():
     args = p.parse_args()
 
     res_dir = args.res_dir or os.path.join(
-        "results", "count_cycle_" + time.strftime("%Y%m%d%H%M%S")
+        "results", args.dataset + "_" + time.strftime("%Y%m%d%H%M%S")
     )
     os.makedirs(res_dir, exist_ok=True)
     with open(os.path.join(res_dir, "config.json"), "w") as f:
@@ -130,6 +136,9 @@ def main():
     sched = PlateauScheduler(
         factor=args.lr_decay_factor, patience=args.patience
     )
+    from escgnn_tpu.train.checkpoint import CheckpointManager
+
+    ckpt = CheckpointManager(os.path.join(res_dir, "ckpt"), max_to_keep=3)
 
     def evaluate(state, graphs):
         tot, cnt = 0.0, 0.0
@@ -167,6 +176,10 @@ def main():
             best_val = val_mae
             best_test = evaluate(state, splits["test"])
             line += f" test MAE {best_test:.5f} *"
+            ckpt.save(
+                epoch,
+                {"params": state.params, "batch_stats": state.batch_stats},
+            )
         line += f" ({time.time() - t_ep:.1f}s)"
         print(line)
         with open(log_path, "a") as f:

@@ -1,0 +1,225 @@
+#!/usr/bin/env python
+"""OGB molecule-property driver (TPU-native).
+
+Capability mirror of reference `run_ogb_mol.py`: GNN with
+GNN_node_efficient (virtual node, Atom/Bond encoders, per-layer ESC edge
+injection), NaN-masked BCE, ROC-AUC / AP evaluation, periodic
+checkpointing with resume (`--continue_from`) and checkpoint-ensemble
+evaluation (`run_ogb_mol.py:440-452,521-538`). Uses the real ogbg-mol*
+arrays when present under --data_dir, else deterministic synthetic
+molecules.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from escgnn_tpu.data.batching import BatchSpec, batch_iterator
+from escgnn_tpu.data.molecules import synthetic_ogb_mol
+from escgnn_tpu.featurize.cache import cached_featurize
+from escgnn_tpu.featurize.escgnn import EscConfig
+from escgnn_tpu.featurize.transform import featurize_many
+from escgnn_tpu.models.ogb_gnn import OgbGNN, OgbGNNConfig
+from escgnn_tpu.train.checkpoint import CheckpointManager
+from escgnn_tpu.train.loop import TrainState, adam_with_plateau
+from escgnn_tpu.train.metrics import average_precision, masked_bce_with_logits, rocauc
+
+from functools import partial
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--dataset", default="ogbg-molhiv")
+    p.add_argument("--h", type=int, default=4)
+    p.add_argument("--num_layer", type=int, default=6)
+    p.add_argument("--emb_dim", type=int, default=300)
+    p.add_argument("--drop_ratio", type=float, default=0.65)
+    p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--epochs", type=int, default=20)
+    p.add_argument("--num_tasks", type=int, default=1)
+    p.add_argument("--graph_pooling", default="mean")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--num_graphs", type=int, default=1000)
+    p.add_argument("--num_workers", type=int, default=2)
+    p.add_argument("--log_steps", type=int, default=5)
+    p.add_argument("--continue_from", type=int, default=None)
+    p.add_argument("--ensemble_eval", action="store_true")
+    p.add_argument("--metric", default="rocauc", choices=["rocauc", "ap"])
+    p.add_argument("--data_dir", default="data")
+    p.add_argument("--res_dir", default=None)
+    args = p.parse_args()
+
+    res_dir = args.res_dir or os.path.join(
+        "results", f"{args.dataset}_" + time.strftime("%Y%m%d%H%M%S")
+    )
+    os.makedirs(res_dir, exist_ok=True)
+    with open(os.path.join(res_dir, "config.json"), "w") as f:
+        json.dump(vars(args), f, indent=2)
+
+    ecfg = EscConfig(h=args.h, use_rd=True, self_loop=True)
+    raw = synthetic_ogb_mol(
+        num_graphs=args.num_graphs, seed=args.seed, num_tasks=args.num_tasks
+    )
+    n_tr, n_val = int(0.8 * len(raw)), int(0.1 * len(raw))
+    raw_splits = {
+        "train": raw[:n_tr],
+        "val": raw[n_tr:n_tr + n_val],
+        "test": raw[n_tr + n_val:],
+    }
+    splits = {}
+    for name, graphs in raw_splits.items():
+        splits[name] = cached_featurize(
+            os.path.join(args.data_dir, args.dataset.replace("-", "_")),
+            f"{name}_n{args.num_graphs}_s{args.seed}_{ecfg.cache_key()}",
+            lambda graphs=graphs: featurize_many(
+                graphs, ecfg, num_workers=args.num_workers
+            ),
+        )
+
+    all_graphs = [g for s in splits.values() for g in s]
+    spec = BatchSpec.from_graphs(all_graphs, batch_size=args.batch_size)
+    print("spec:", spec)
+
+    model = OgbGNN(
+        OgbGNNConfig(
+            num_tasks=args.num_tasks,
+            num_layers=args.num_layer,
+            emb_dim=args.emb_dim,
+            dropout=args.drop_ratio,
+            virtual_node=True,
+            graph_pooling=args.graph_pooling,
+        )
+    )
+    rng = jax.random.key(args.seed)
+    init_b = jax.tree.map(
+        jnp.asarray, next(batch_iterator(splits["train"][:2], spec))
+    )
+    variables = model.init(rng, init_b)
+    state = TrainState.create(
+        variables["params"], variables.get("batch_stats", {}),
+        adam_with_plateau(args.lr),
+    )
+    ckpt = CheckpointManager(os.path.join(res_dir, "ckpt"))
+    start_epoch = 1
+    if args.continue_from is not None:
+        restored = ckpt.restore(
+            args.continue_from,
+            template={"params": state.params, "batch_stats": state.batch_stats},
+        )
+        state = state.replace(
+            params=restored["params"], batch_stats=restored["batch_stats"]
+        )
+        start_epoch = args.continue_from + 1
+        print(f"resumed from epoch {args.continue_from}")
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(state, batch, rng):
+        def compute(params):
+            out, mut = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch,
+                deterministic=False,
+                use_running_average=False,
+                mutable=["batch_stats"],
+                rngs={"dropout": rng},
+            )
+            return masked_bce_with_logits(out, batch), mut["batch_stats"]
+
+        (loss, new_stats), grads = jax.value_and_grad(compute, has_aux=True)(
+            state.params
+        )
+        import optax
+
+        updates, new_opt = state.tx.update(grads, state.opt_state, state.params)
+        return (
+            state.replace(
+                step=state.step + 1,
+                params=optax.apply_updates(state.params, updates),
+                batch_stats=new_stats,
+                opt_state=new_opt,
+            ),
+            loss,
+        )
+
+    @jax.jit
+    def predict(params, batch_stats, batch):
+        return model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch,
+            deterministic=True,
+            use_running_average=True,
+        )
+
+    metric_fn = rocauc if args.metric == "rocauc" else average_precision
+
+    def evaluate(graphs, param_sets=None):
+        """Score a split; with param_sets, average predictions over
+        checkpoints (reference's ensemble eval)."""
+        param_sets = param_sets or [(state.params, state.batch_stats)]
+        ys, ps = [], []
+        for b in batch_iterator(graphs, spec):
+            bj = jax.tree.map(jnp.asarray, b)
+            scores = np.mean(
+                [np.asarray(predict(p, bs, bj)) for p, bs in param_sets], axis=0
+            )
+            m = np.asarray(b.graph_mask)
+            ys.append(np.asarray(b.y)[m])
+            ps.append(scores[m])
+        return metric_fn(np.concatenate(ys), np.concatenate(ps))
+
+    data_rng = np.random.default_rng(args.seed)
+    best_val = -1.0
+    best_test = float("nan")
+    for epoch in range(start_epoch, args.epochs + 1):
+        t_ep = time.time()
+        losses = []
+        for b in batch_iterator(splits["train"], spec, shuffle=True, rng=data_rng):
+            b = jax.tree.map(jnp.asarray, b)
+            rng, sub = jax.random.split(rng)
+            state, loss = train_step(state, b, sub)
+            losses.append(loss)
+        val = evaluate(splits["val"])
+        line = (
+            f"epoch {epoch:03d} loss {float(jnp.mean(jnp.stack(losses))):.5f} "
+            f"val {args.metric} {val:.5f}"
+        )
+        if val > best_val:
+            best_val = val
+            best_test = evaluate(splits["test"])
+            line += f" test {best_test:.5f} *"
+        if epoch % args.log_steps == 0 or epoch == args.epochs:
+            ckpt.save(
+                epoch,
+                {"params": state.params, "batch_stats": state.batch_stats},
+            )
+            line += " [ckpt]"
+        line += f" ({time.time() - t_ep:.1f}s)"
+        print(line)
+        with open(os.path.join(res_dir, "log.txt"), "a") as f:
+            f.write(line + "\n")
+
+    if args.ensemble_eval and ckpt.all_steps():
+        tmpl = {"params": state.params, "batch_stats": state.batch_stats}
+        sets = [
+            (
+                (r := ckpt.restore(s, template=tmpl))["params"],
+                r["batch_stats"],
+            )
+            for s in ckpt.all_steps()
+        ]
+        ens = evaluate(splits["test"], param_sets=sets)
+        print(f"ensemble test {args.metric} over {len(sets)} ckpts: {ens:.5f}")
+
+    print(f"best val {best_val:.5f} test {best_test:.5f}")
+
+
+if __name__ == "__main__":
+    main()

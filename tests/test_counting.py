@@ -1,0 +1,58 @@
+import numpy as np
+
+from escgnn_tpu.data.counting import count_cycles_per_node
+from escgnn_tpu.data.graphlets import count_graphlets_per_node
+
+
+def undirected(pairs):
+    e = np.asarray(pairs).T
+    return np.concatenate([e, e[::-1]], axis=1)
+
+
+def test_cycles_triangle_square_k4():
+    tri = undirected([(0, 1), (1, 2), (2, 0)])
+    assert np.array_equal(
+        count_cycles_per_node(3, tri), np.tile([1, 0, 0, 0], (3, 1))
+    )
+    sq = undirected([(0, 1), (1, 2), (2, 3), (3, 0)])
+    assert np.array_equal(
+        count_cycles_per_node(4, sq), np.tile([0, 1, 0, 0], (4, 1))
+    )
+    a, b = np.nonzero(1 - np.eye(4))
+    k4 = np.stack([a, b])
+    # K4: every node lies on 3 triangles and 3 4-cycles
+    assert np.array_equal(
+        count_cycles_per_node(4, k4), np.tile([3, 3, 0, 0], (4, 1))
+    )
+
+
+def test_cycles_petersen_five_cycles():
+    # C5: one 5-cycle through every node
+    c5 = undirected([(i, (i + 1) % 5) for i in range(5)])
+    assert np.array_equal(
+        count_cycles_per_node(5, c5), np.tile([0, 0, 1, 0], (5, 1))
+    )
+
+
+def test_graphlets_known_shapes():
+    # P4 path: one P4, zero others
+    p4 = undirected([(0, 1), (1, 2), (2, 3)])
+    c = count_graphlets_per_node(4, p4)
+    assert np.array_equal(c, np.tile([0, 0, 0, 1], (4, 1)))
+
+    # tailed triangle: triangle 0-1-2 + tail 2-3
+    tt = undirected([(0, 1), (1, 2), (2, 0), (2, 3)])
+    c = count_graphlets_per_node(4, tt)
+    assert np.array_equal(c[:, 0], [1, 1, 1, 1])
+    assert c[:, [1, 2, 3]].sum() == 0
+
+    # diamond (chordal cycle): C4 + one chord
+    dm = undirected([(0, 1), (1, 2), (2, 3), (3, 0), (0, 2)])
+    c = count_graphlets_per_node(4, dm)
+    assert np.array_equal(c[:, 1], [1, 1, 1, 1])
+
+    # K4: one 4-clique; no induced others
+    a, b = np.nonzero(1 - np.eye(4))
+    c = count_graphlets_per_node(4, np.stack([a, b]))
+    assert np.array_equal(c[:, 2], [1, 1, 1, 1])
+    assert c[:, [0, 1, 3]].sum() == 0

@@ -1,0 +1,78 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from escgnn_tpu.data.batching import BatchSpec, pad_and_batch
+from escgnn_tpu.data.molecules import synthetic_ogb_mol, synthetic_zinc
+from escgnn_tpu.featurize.escgnn import EscConfig
+from escgnn_tpu.featurize.transform import featurize_many
+from escgnn_tpu.models.ogb_gnn import OgbGNN, OgbGNNConfig
+from escgnn_tpu.train.metrics import (
+    average_precision,
+    masked_bce_with_logits,
+    rocauc,
+)
+
+
+@pytest.fixture(scope="module")
+def ogb_batch():
+    raw = synthetic_ogb_mol(num_graphs=3, seed=0, num_tasks=2, nan_frac=0.3)
+    ecfg = EscConfig(h=2, use_rd=True, self_loop=True)
+    feats = featurize_many(raw, ecfg)
+    spec = BatchSpec.from_graphs(feats, batch_size=3)
+    return jax.tree.map(jnp.asarray, pad_and_batch(feats, spec))
+
+
+def test_ogb_forward_and_loss(ogb_batch):
+    cfg = OgbGNNConfig(num_tasks=2, num_layers=2, emb_dim=16, dropout=0.0)
+    model = OgbGNN(cfg)
+    variables = model.init(jax.random.key(0), ogb_batch)
+    out = model.apply(variables, ogb_batch)
+    assert out.shape == (ogb_batch.num_graphs, 2)
+    loss = masked_bce_with_logits(out, ogb_batch)
+    assert np.isfinite(float(loss))
+
+
+@pytest.mark.parametrize("pooling", ["sum", "max", "attention", "combine"])
+def test_ogb_pooling_zoo(ogb_batch, pooling):
+    cfg = OgbGNNConfig(
+        num_tasks=1, num_layers=1, emb_dim=8, dropout=0.0,
+        graph_pooling=pooling, virtual_node=False,
+    )
+    model = OgbGNN(cfg)
+    variables = model.init(jax.random.key(0), ogb_batch)
+    out = model.apply(variables, ogb_batch)
+    assert out.shape == (ogb_batch.num_graphs, 1)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_rocauc_and_ap():
+    y = np.array([[0.0], [1.0], [1.0], [0.0], [np.nan]])
+    s = np.array([[0.1], [0.9], [0.8], [0.2], [0.5]])
+    assert rocauc(y, s) == 1.0
+    assert average_precision(y, s) == 1.0
+    # single-class task -> nan
+    y1 = np.ones((4, 1))
+    assert np.isnan(rocauc(y1, s[:4]))
+
+
+def test_masked_bce_ignores_nan():
+    from escgnn_tpu.data.container import GraphBatch
+
+    y = jnp.array([[1.0, jnp.nan], [0.0, 1.0], [0.0, 0.0]])
+    logits = jnp.array([[5.0, 999.0], [-5.0, 5.0], [-5.0, -5.0]])
+    gm = jnp.array([True, True, False])  # last graph is padding
+    batch = GraphBatch(
+        senders=jnp.zeros(1, jnp.int32),
+        receivers=jnp.zeros(1, jnp.int32),
+        edge_mask=jnp.ones(1, bool),
+        node_mask=jnp.ones(1, bool),
+        node_graph=jnp.zeros(1, jnp.int32),
+        graph_mask=gm,
+        y=y,
+    )
+    loss = float(masked_bce_with_logits(logits, batch))
+    # all labeled, unmasked entries are confidently correct -> tiny loss;
+    # the NaN entry (logit 999) and padded graph must not contribute
+    assert loss < 0.05
