@@ -39,29 +39,33 @@ def save_graphs(path: str, graphs: Sequence[GraphData]) -> None:
 
 
 def load_graphs(path: str) -> list[GraphData]:
-    z = np.load(path)
+    with np.load(path) as zf:
+        # materialize every member exactly once: NpzFile re-decompresses the
+        # whole member on each __getitem__, which is quadratic in a loop
+        z = {k: zf[k] for k in zf.files}
     nn_, ne = z["num_nodes"], z["num_edges"]
     G = len(nn_)
     e_off = np.concatenate([[0], np.cumsum(ne)])
     f_off = {}
     for f in _FIELDS:
-        if f in z.files:
+        if f in z:
             f_off[f] = np.concatenate([[0], np.cumsum(z[f + "_len"])])
-    if "enc_nnz_per_edge" in z.files:
+    if "enc_nnz_per_edge" in z:
         nnz = z["enc_nnz_per_edge"]
+    edge_index = z["edge_index"]
     graphs = []
     for i in range(G):
         kw = {}
         for f, off in f_off.items():
             kw[f] = z[f][off[i]:off[i + 1]]
         enc_offsets = None
-        if "enc_nnz_per_edge" in z.files:
+        if "enc_nnz_per_edge" in z:
             row_nnz = nnz[e_off[i]:e_off[i + 1]]
             enc_offsets = np.concatenate([[0], np.cumsum(row_nnz)])
         graphs.append(
             GraphData(
                 num_nodes=int(nn_[i]),
-                edge_index=z["edge_index"][:, e_off[i]:e_off[i + 1]],
+                edge_index=edge_index[:, e_off[i]:e_off[i + 1]],
                 enc_offsets=enc_offsets,
                 **kw,
             )

@@ -1,0 +1,178 @@
+"""I²GNN — nested GNN over (root, neighbor)-pair subgraph copies.
+
+Capability mirror of reference `zinc_models.py:116-303`: per-layer z-label
+embedding (+ 2-column rd projection), GINConv with edge-type message, BN
++ ELU + residual, then the hierarchical pooling cascade
+(`graph_pooling`, `zinc_models.py:200-248`):
+
+  subgraph2 level: mean | add | center | mean-center | mean-center-side
+                   (optionally gated by sigmoid(z_emb))
+  subgraph level:  mean | add | mean-context (concat per-original-node mean)
+  graph level:     mean | add
+
+All pools are masked segment reductions over the batch's three segment
+index levels; `center_idx` gathers replace the reference's fancy-index
+center pooling. Runs on `featurize.pair_subgraphs.create_pair_subgraphs`
+output.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from escgnn_tpu.data.container import GraphBatch
+from escgnn_tpu.models.layers import MaskedBatchNorm, TorchDense
+from escgnn_tpu.models.ngnn import NGNNGINConv
+from escgnn_tpu.ops.segment import segment_mean, segment_sum
+
+
+@dataclasses.dataclass(frozen=True)
+class I2GNNConfig:
+    num_layers: int = 5
+    hidden: int = 64
+    node_type_dim: int = 8
+    z_vocab: int = 100
+    edge_vocab: int = 5
+    use_rd: bool = False
+    subgraph_pooling: str = "mean"  # mean | add | mean-context
+    subgraph2_pooling: str = "mean"  # mean | add | center | mean-center | mean-center-side
+    graph_aggr: str = "mean"  # mean | add
+    gate: bool = False
+    out_dim: int = 1
+    residual: bool = True
+
+
+class I2GNN(nn.Module):
+    cfg: I2GNNConfig
+
+    def _pool(self, x, batch: GraphBatch, z_emb, gate_fn):
+        cfg = self.cfg
+        S = batch.segment_mask.shape[0]
+        S2 = batch.segment2_mask.shape[0]
+        nm = batch.node_mask
+
+        if cfg.subgraph_pooling == "mean-context":
+            x_node = segment_mean(
+                x, batch.node_original, batch.original_mask.shape[0], mask=nm
+            )
+
+        sp2 = cfg.subgraph2_pooling
+        if sp2 in ("mean", "mean-center-side") and cfg.gate:
+            x = gate_fn(z_emb) * x
+        if sp2 == "mean":
+            h2 = segment_mean(x, batch.node_segment2, S2, mask=nm)
+        elif sp2 == "add":
+            h2 = segment_sum(x, batch.node_segment2, S2, mask=nm)
+        elif sp2 == "center":
+            h2 = jnp.take(x, batch.center_idx[:, 0], axis=0)
+        elif sp2 == "mean-center":
+            h2 = jnp.concatenate(
+                [
+                    segment_mean(x, batch.node_segment2, S2, mask=nm),
+                    jnp.take(x, batch.center_idx[:, 0], axis=0),
+                ],
+                axis=-1,
+            )
+        elif sp2 == "mean-center-side":
+            h2 = jnp.concatenate(
+                [
+                    segment_mean(x, batch.node_segment2, S2, mask=nm),
+                    jnp.take(x, batch.center_idx[:, 0], axis=0),
+                    jnp.take(x, batch.center_idx[:, 1], axis=0),
+                ],
+                axis=-1,
+            )
+        else:
+            raise ValueError(sp2)
+
+        s2m = batch.segment2_mask
+        if cfg.subgraph_pooling == "add":
+            h1 = segment_sum(h2, batch.segment2_parent, S, mask=s2m)
+        else:
+            h1 = segment_mean(h2, batch.segment2_parent, S, mask=s2m)
+        if cfg.subgraph_pooling == "mean-context":
+            # one subgraph per original node, so rows align
+            h1 = jnp.concatenate([h1, x_node[:S]], axis=-1)
+        return h1
+
+    @nn.compact
+    def __call__(
+        self,
+        batch: GraphBatch,
+        *,
+        deterministic: bool = True,
+        use_running_average: bool = True,
+    ):
+        cfg = self.cfg
+        x_raw = batch.x
+        z = batch.extras["z"]
+        nm = batch.node_mask
+
+        xt = nn.Embed(
+            100, cfg.node_type_dim,
+            embedding_init=nn.initializers.normal(1.0),
+            name="node_type_embedding",
+        )(x_raw.astype(jnp.int32).reshape(x_raw.shape[0]))
+        h = jnp.concatenate(
+            [xt, x_raw.reshape(x_raw.shape[0], -1).astype(jnp.float32)],
+            axis=-1,
+        )
+
+        def z_embed(layer, m_in):
+            zt = nn.Embed(
+                cfg.z_vocab, m_in,
+                embedding_init=nn.initializers.normal(1.0),
+                name=f"z_embedding_{layer}",
+            )(z.astype(jnp.int32))
+            z_emb = jnp.sum(zt, axis=1)
+            if cfg.use_rd:
+                z_emb = z_emb + TorchDense(m_in, name=f"rd_projection_{layer}")(
+                    batch.extras["rd"].astype(jnp.float32)
+                )
+            return z_emb
+
+        m_in = h.shape[-1]
+        h_prev = None
+        for layer in range(cfg.num_layers):
+            z_emb = z_embed(layer, m_in)
+            h = jnp.concatenate([h, z_emb], axis=-1)
+            h = NGNNGINConv(
+                m_in=2 * m_in, m_out=cfg.hidden, edge_vocab=cfg.edge_vocab,
+                name=f"conv{layer}",
+            )(
+                h, batch.senders, batch.receivers, batch.edge_attr,
+                batch.edge_mask, use_running_average=use_running_average,
+            )
+            h = MaskedBatchNorm(name=f"norm{layer}")(
+                h, nm, use_running_average
+            )
+            if layer < cfg.num_layers - 1:
+                h = nn.elu(h)
+            if layer > 0 and cfg.residual:
+                h = h + h_prev
+            h_prev = h
+            m_in = cfg.hidden
+
+        # final pooling with its own z embedding
+        z_emb = z_embed(cfg.num_layers, cfg.hidden)
+        gate_fn = None
+        if cfg.gate:
+            def gate_fn(ze):
+                g = TorchDense(cfg.hidden, name="subgraph_gate")(ze)
+                return nn.sigmoid(g)
+
+        h1 = self._pool(h, batch, z_emb, gate_fn)
+        g = (
+            segment_sum(h1, batch.segment_graph, batch.num_graphs,
+                        mask=batch.segment_mask)
+            if cfg.graph_aggr == "add"
+            else segment_mean(h1, batch.segment_graph, batch.num_graphs,
+                              mask=batch.segment_mask)
+        )
+
+        g = nn.elu(TorchDense(32, name="fc1")(g))
+        g = nn.elu(TorchDense(16, name="fc2")(g))
+        return TorchDense(cfg.out_dim, name="fc3")(g)

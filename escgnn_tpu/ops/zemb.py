@@ -11,24 +11,109 @@ form here uses the per-edge fixed-width layout (enc_idx/enc_cnt of shape
 
     z_emb = einsum('eph,ep->eh', table[enc_idx], enc_cnt)
 
-which XLA fuses into a single pass with no scatter. Padding entries carry
-cnt == 0 and contribute exactly 0.
+which XLA fuses into a single fast pass (tens of microseconds).
+
+The *backward* w.r.t. the table is the transposed sparse matmul
+dT[z] = sum_{(e,p): idx=z} cnt * dZ[e]. XLA's native transpose of the
+gather is a scatter-add over E*P row updates, which lowers to a serial
+loop on TPU (~13 ms at ZINC batch shapes — measured). The custom VJP
+below instead processes edges in blocks: a compare-based one-hot
+C_blk[b, z] = sum_p cnt * [idx == z] (VPU), then dT += C_blk^T @ dZ_blk
+(MXU) — ~10x faster, no scatter anywhere.
 """
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+# dtype of the blocked one-hot matmuls in the table backward. bf16 doubles
+# MXU throughput; counts are small integers (exact in bf16) and gradient
+# rounding noise is far below SGD noise. Set to jnp.float32 for exactness.
+_BWD_MATMUL_DTYPE = jnp.bfloat16
 
 
-def zemb_weighted_gather(
-    table: jax.Array,  # (Z, H) embedding table (z_initial.weight)
-    enc_idx: jax.Array,  # (E, P) int32 bucket ids
-    enc_cnt: jax.Array,  # (E, P) float32 counts (0 for padding)
-) -> jax.Array:
-    """Per-edge weighted sum of embedding-table rows. Returns (E, H)."""
+def set_backward_matmul_dtype(dtype):
+    global _BWD_MATMUL_DTYPE
+    _BWD_MATMUL_DTYPE = dtype
+
+
+def _gather_reduce(table, enc_idx, enc_cnt):
     rows = jnp.take(table, enc_idx, axis=0)  # (E, P, H)
     return jnp.einsum(
         "eph,ep->eh", rows, enc_cnt.astype(rows.dtype),
         preferred_element_type=jnp.float32,
     )
+
+
+def zemb_weighted_gather(table, enc_idx, enc_cnt):
+    """Per-edge weighted sum of embedding-table rows. Returns (E, H).
+
+    Accepts the int16 wire format from the batcher (ids/counts cast here).
+    """
+    return _zemb_core(
+        table,
+        enc_idx.astype(jnp.int32),
+        enc_cnt.astype(jnp.float32),
+    )
+
+
+@partial(jax.custom_vjp, nondiff_argnums=())
+def _zemb_core(table, enc_idx, enc_cnt):
+    return _gather_reduce(table, enc_idx, enc_cnt)
+
+
+def _zemb_fwd(table, enc_idx, enc_cnt):
+    return _gather_reduce(table, enc_idx, enc_cnt), (table, enc_idx, enc_cnt)
+
+
+def _zemb_bwd(res, dZ):
+    table, enc_idx, enc_cnt = res
+    Z = table.shape[0]
+    E, P = enc_idx.shape
+
+    # --- dTable: blocked one-hot matmul (see module docstring) ---
+    B = 128 if E % 128 == 0 else (64 if E % 64 == 0 else 1)
+    if B == 1:  # ragged edge count: fall back to XLA's scatter transpose
+        dT = jax.vjp(lambda t: _gather_reduce(t, enc_idx, enc_cnt), table)[1](dZ)[0]
+    else:
+        nb = E // B
+        zr = jnp.arange(Z, dtype=enc_idx.dtype)
+        mm_dtype = _BWD_MATMUL_DTYPE
+
+        def body(acc, i):
+            idx_b = jax.lax.dynamic_slice_in_dim(enc_idx, i * B, B)
+            cnt_b = jax.lax.dynamic_slice_in_dim(enc_cnt, i * B, B)
+            dZ_b = jax.lax.dynamic_slice_in_dim(dZ, i * B, B)
+            onehot = (idx_b[:, :, None] == zr[None, None, :]).astype(mm_dtype)
+            Cb = jnp.einsum(
+                "bpz,bp->bz", onehot, cnt_b.astype(mm_dtype),
+                preferred_element_type=jnp.float32,
+            )
+            acc = acc + jnp.einsum(
+                "bz,bh->zh",
+                Cb.astype(mm_dtype),
+                dZ_b.astype(mm_dtype),
+                preferred_element_type=jnp.float32,
+            )
+            return acc, None
+
+        dT, _ = jax.lax.scan(
+            body, jnp.zeros(table.shape, jnp.float32), jnp.arange(nb)
+        )
+        dT = dT.astype(table.dtype)
+
+    # --- dCnt: cheap gather + dot ---
+    rows = jnp.take(table, enc_idx, axis=0)  # (E, P, H)
+    dCnt = jnp.einsum(
+        "eph,eh->ep", rows, dZ, preferred_element_type=jnp.float32
+    ).astype(enc_cnt.dtype)
+
+    dIdx = np.zeros(enc_idx.shape, jax.dtypes.float0)
+    return dT, dIdx, dCnt
+
+
+_zemb_core.defvjp(_zemb_fwd, _zemb_bwd)

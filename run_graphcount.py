@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from escgnn_tpu.data.batching import BatchSpec, batch_iterator
+from escgnn_tpu.data.prefetch import prefetched_batches
 from escgnn_tpu.data.counting import (
     CountingDatasetConfig,
     generate_counting_graphs,
@@ -52,19 +53,24 @@ def build_datasets(args):
         task="graphlet" if args.dataset == "count_graphlet" else "cycle",
     )
     ecfg = EscConfig(h=args.h, use_rd=True, self_loop=True)
-    splits = generate_counting_graphs(dcfg)
+    # generation (exact DFS substructure counting) is expensive — only run
+    # it on cache miss; the npz cache stores targets alongside features
+    raw_cache: dict = {}
+
+    def raw_splits():
+        if not raw_cache:
+            raw_cache.update(generate_counting_graphs(dcfg))
+        return raw_cache
+
     out = {}
-    for name, graphs in splits.items():
+    for name in ("train", "val", "test"):
         out[name] = cached_featurize(
             os.path.join(args.data_dir, args.dataset),
             f"{name}_n{dcfg.num_graphs}_s{dcfg.seed}_{ecfg.cache_key()}",
-            lambda graphs=graphs: featurize_many(
-                graphs, ecfg, num_workers=args.num_workers
+            lambda name=name: featurize_many(
+                raw_splits()[name], ecfg, num_workers=args.num_workers
             ),
         )
-        # reattach targets (cache stores them already; keep in sync)
-        for g, raw in zip(out[name], splits[name]):
-            g.y = raw.y
     return out
 
 
@@ -142,8 +148,7 @@ def main():
 
     def evaluate(state, graphs):
         tot, cnt = 0.0, 0.0
-        for b in batch_iterator(graphs, spec):
-            b = jax.tree.map(jnp.asarray, b)
+        for b in prefetched_batches(graphs, spec):
             e, c = eval_step(state.params, state.batch_stats, b)
             tot += float(e)
             cnt += float(c)
@@ -155,10 +160,9 @@ def main():
     for epoch in range(1, args.epochs + 1):
         t_ep = time.time()
         losses = []
-        for b in batch_iterator(
+        for b in prefetched_batches(
             splits["train"], spec, shuffle=True, rng=data_rng
         ):
-            b = jax.tree.map(jnp.asarray, b)
             rng, sub = jax.random.split(rng)
             state, loss = train_step(state, b, sub)
             losses.append(loss)

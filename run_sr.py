@@ -6,6 +6,11 @@ produce pairwise-distinct graph embeddings for the 15 strongly regular
 (25,12,5,6) graphs — 1-WL (and 3-WL) cannot distinguish them, so success
 demonstrates the structural encoding's power. Failure count = number of
 embedding pairs with L2 distance < tol.
+
+Measured capability of the ESC encoding on SR25: 99/105 pairs separated;
+6 pairs have bucket-identical encodings (see
+tests/test_expressiveness_data.py::test_sr25_encoding_separation_limit),
+so ~5-6 collisions here is the encoding's floor, not a bug.
 """
 
 from __future__ import annotations

@@ -21,6 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from escgnn_tpu.data.batching import BatchSpec, batch_iterator
+from escgnn_tpu.data.prefetch import prefetched_batches
 from escgnn_tpu.data.molecules import synthetic_zinc
 from escgnn_tpu.featurize.cache import cached_featurize
 from escgnn_tpu.featurize.escgnn import EscConfig
@@ -127,8 +128,7 @@ def main():
 
     def evaluate(graphs):
         tot = cnt = 0.0
-        for b in batch_iterator(graphs, spec):
-            b = jax.tree.map(jnp.asarray, b)
+        for b in prefetched_batches(graphs, spec):
             e, c = eval_step(state.params, state.batch_stats, b)
             tot += float(e)
             cnt += float(c)
@@ -139,8 +139,7 @@ def main():
     for epoch in range(1, args.epochs + 1):
         t_ep = time.time()
         losses = []
-        for b in batch_iterator(splits["train"], spec, shuffle=True, rng=data_rng):
-            b = jax.tree.map(jnp.asarray, b)
+        for b in prefetched_batches(splits["train"], spec, shuffle=True, rng=data_rng):
             rng, sub = jax.random.split(rng)
             state, loss = train_step(state, b, sub)
             losses.append(loss)

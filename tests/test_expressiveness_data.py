@@ -40,6 +40,35 @@ def test_csl_classes_distinguished_by_encoding():
     assert sig_perm == sigs[0], "isomorphic copies must share signatures"
 
 
+def test_sr25_encoding_separation_limit():
+    """SR25: the ESC encoding separates 99/105 graph pairs; exactly 6
+    pairs are bucket-identical (a measured property of the encoding —
+    the untrained-model collision check in run_sr.py bottoms out here).
+    SR(25,12,5,6) graphs have diameter 2, so h=2 gives the same
+    histograms as h=3 and keeps the test fast."""
+    from escgnn_tpu.data.sr import load_sr_graphs
+
+    try:
+        graphs = load_sr_graphs()
+    except FileNotFoundError:
+        pytest.skip("sr25 g6 file not available")
+    cfg = EscConfig(h=2, use_rd=True, self_loop=True)
+
+    def sig(g):
+        enc = esc_encode(g.num_nodes, g.edge_index, cfg)
+        rows = []
+        for e in range(enc.edge_index.shape[1]):
+            lo, hi = enc.enc_offsets[e], enc.enc_offsets[e + 1]
+            rows.append(tuple(zip(enc.enc_idx[lo:hi], enc.enc_cnt[lo:hi])))
+        return tuple(sorted(rows))
+
+    sigs = [sig(g) for g in graphs]
+    n = len(sigs)
+    coll = {(i, j) for i in range(n) for j in range(i + 1, n)
+            if sigs[i] == sigs[j]}
+    assert coll == {(3, 9), (4, 11), (5, 10), (6, 12), (7, 13), (8, 14)}
+
+
 def test_exp_loader():
     pytest.importorskip("torch")
     from escgnn_tpu.data.planar_sat import load_planar_sat
