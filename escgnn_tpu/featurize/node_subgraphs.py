@@ -24,7 +24,7 @@ from escgnn_tpu.featurize.bfs import hop_distance_matrix
 class NodeSubgraphConfig:
     h: int = 3
     use_rd: bool = False
-    node_label: str = "hop"  # hop only (spd/drnl: oracle path, later)
+    node_label: str = "hop"  # hop | spd (== spd2) | drnl
 
     def cache_key(self) -> str:
         key = f"ngnn_h{self.h}_{self.node_label}"
@@ -33,14 +33,40 @@ class NodeSubgraphConfig:
         return key
 
 
+def _spd_labels(D, ei, n, h):
+    """The reference's BFS 'spd' labels (`utils.py:135-229`): per node,
+    [first-reach hop + 1, same value again iff the node was reached from
+    >= 2 previous-frontier neighbors, else 0]. The root gets [1, 0]."""
+    # count, for each (root r, node w), edges from the hop-(k-1) set to w
+    # where k = D[r, w]
+    A = np.zeros((n, n), np.int64)
+    np.add.at(A, (ei[1], ei[0]), 1)  # reversed: same direction BFS expands
+    enc2 = np.zeros((n, n), bool)
+    for k in range(1, h + 1):
+        prev = D == (k - 1)  # (roots, nodes) at hop k-1
+        cnt = prev.astype(np.int64) @ A  # (roots, nodes): #edges from prev
+        enc2 |= (D == k) & (cnt >= 2)
+    z1 = np.where(D <= h, D + 1, 0)
+    np.fill_diagonal(z1, 1)
+    z2 = np.where(enc2, z1, 0)
+    return z1, z2
+
+
 def create_node_subgraphs(g: GraphData, cfg: NodeSubgraphConfig) -> GraphData:
-    if cfg.node_label != "hop":
-        raise NotImplementedError("only hop labels are vectorized so far")
     n = g.num_nodes
     h = cfg.h
     ei = np.asarray(g.edge_index, np.int64)
     D = hop_distance_matrix(n, ei, h)  # (N, N)
     member = D <= h  # (N_roots, N)
+    label = cfg.node_label
+    if label.startswith("spd") or label == "drnl":
+        z1, z2 = _spd_labels(D, ei, n, h)
+        if label == "drnl":
+            Z = np.where(z2 > 0, z1 * (h + 1) + z2, z1)[..., None]
+        else:
+            Z = np.stack([z1, z2], axis=-1)  # (roots, nodes, 2)
+    else:
+        Z = D[..., None]  # hop distances, 1 col
 
     # copy node lists: root first, then members ascending
     copies = []
@@ -68,7 +94,9 @@ def create_node_subgraphs(g: GraphData, cfg: NodeSubgraphConfig) -> GraphData:
     eid = np.concatenate(new_eid)
 
     # per-copy-node fields
-    z = np.concatenate([D[v][c] for v, c in enumerate(copies)]).astype(np.int64)
+    z = np.concatenate([Z[v][c] for v, c in enumerate(copies)], axis=0).astype(
+        np.int64
+    )
     node_to_subgraph = np.concatenate(
         [np.full(s, v, np.int64) for v, s in enumerate(sizes)]
     )
@@ -80,7 +108,7 @@ def create_node_subgraphs(g: GraphData, cfg: NodeSubgraphConfig) -> GraphData:
         ea_big = np.asarray(g.edge_attr)[eid]
 
     extras = {
-        "z": z[:, None],
+        "z": z if z.ndim == 2 else z[:, None],
         "node_to_subgraph": node_to_subgraph,
         "num_subgraphs": n,
     }

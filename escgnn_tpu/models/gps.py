@@ -1,0 +1,214 @@
+"""GPS — general, powerful, scalable graph transformer with ESC injection.
+
+Capability mirror of the reference's GraphGPS fork
+(`GraphGPS/graphgps/layer/gps_layer.py:140-270`): each layer runs a local
+GINE MPNN and a global multi-head attention in parallel over the same
+hidden state, sums them, and applies a feed-forward block — with the ESC
+per-edge structural embedding *added to the edge features at every layer*
+(`gps_layer.py:185-188`), and optional Graphormer-style SPD attention
+bias (`BiasedTransformer`; bias built by
+`loader/utils_escgnn.py:28-39`).
+
+TPU design: the dense attention runs per graph over a
+(G, M, D) scatter of the node states (M = per-graph node budget) with
+key-padding masks; the SPD bias is a per-head embedding of the dense
+(G, M, M) distance-bucket matrix from the batcher.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from escgnn_tpu.data.container import GraphBatch
+from escgnn_tpu.models.layers import MLP, MaskedBatchNorm, TorchDense
+from escgnn_tpu.ops.segment import segment_mean, segment_sum
+from escgnn_tpu.ops.zemb import zemb_weighted_gather
+
+
+@dataclasses.dataclass(frozen=True)
+class GPSConfig:
+    dim_h: int = 64
+    num_layers: int = 4
+    num_heads: int = 4
+    dropout: float = 0.0
+    attn_dropout: float = 0.0
+    use_esc: bool = True  # inject ESC edge encoding every layer
+    use_attn_bias: bool = False  # Graphormer-style SPD bias
+    spd_vocab: int = 102  # cap 100 + unreachable + 0
+    node_vocab: int = 100
+    edge_vocab: int = 100
+    z_dim: int = 1800
+    graph_pred: bool = True
+    pool: str = "add"
+    out_dim: int = 1
+
+
+class DenseAttention(nn.Module):
+    """Per-graph multi-head attention over scattered dense node states."""
+
+    dim_h: int
+    num_heads: int
+    use_bias: bool
+    spd_vocab: int
+
+    @nn.compact
+    def __call__(self, h, batch: GraphBatch, *, deterministic: bool):
+        G = batch.num_graphs
+        M = batch.extras["attn_bias"].shape[1] if self.use_bias else None
+        if M is None:
+            # dense budget from node_local (fallback when no bias matrix)
+            M = int(batch.extras["dense_m"]) if batch.extras and "dense_m" in batch.extras else None
+        assert M is not None, "GPS attention needs the dense budget (attn_bias)"
+        D, Hh = self.dim_h, self.num_heads
+        hd = D // Hh
+
+        dense = jnp.zeros((G, M, D), h.dtype)
+        dense = dense.at[batch.node_graph, batch.node_local].set(
+            jnp.where(batch.node_mask[:, None], h, 0.0)
+        )
+        key_mask = jnp.zeros((G, M), bool).at[
+            batch.node_graph, batch.node_local
+        ].set(batch.node_mask)
+
+        q = TorchDense(D, name="q")(dense).reshape(G, M, Hh, hd)
+        k = TorchDense(D, name="k")(dense).reshape(G, M, Hh, hd)
+        v = TorchDense(D, name="v")(dense).reshape(G, M, Hh, hd)
+        logits = jnp.einsum(
+            "gmhd,gnhd->ghmn", q, k, preferred_element_type=jnp.float32
+        ) / jnp.sqrt(hd)
+        if self.use_bias:
+            spd = batch.extras["attn_bias"].astype(jnp.int32)
+            bias = nn.Embed(
+                self.spd_vocab, Hh,
+                embedding_init=nn.initializers.normal(0.02),
+                name="spd_bias",
+            )(jnp.clip(spd, 0, self.spd_vocab - 1))  # (G, M, M, Hh)
+            logits = logits + jnp.transpose(bias, (0, 3, 1, 2))
+        logits = jnp.where(
+            key_mask[:, None, None, :], logits, jnp.finfo(jnp.float32).min
+        )
+        attn = jax.nn.softmax(logits, axis=-1)
+        out = jnp.einsum(
+            "ghmn,gnhd->gmhd", attn, v, preferred_element_type=jnp.float32
+        ).reshape(G, M, D)
+        out = TorchDense(D, name="out")(out)
+        # back to the sparse node list
+        return out[batch.node_graph, batch.node_local]
+
+
+class GPSLayer(nn.Module):
+    cfg: GPSConfig
+
+    @nn.compact
+    def __call__(
+        self, h, edge_attr, batch: GraphBatch,
+        *, deterministic: bool, use_running_average: bool,
+    ):
+        cfg = self.cfg
+        D = cfg.dim_h
+        kw = dict(
+            deterministic=deterministic, use_running_average=use_running_average
+        )
+
+        # ESC structural encoding added to the edge features each layer
+        if cfg.use_esc and batch.enc_idx is not None:
+            z_table = self.param(
+                "z_initial", nn.initializers.normal(1.0), (cfg.z_dim, D)
+            )
+            z = zemb_weighted_gather(z_table, batch.enc_idx, batch.enc_cnt)
+            z = MLP(
+                features=(D,), dropout=cfg.dropout, act=nn.elu, pre_act=True,
+                name="z_embedding",
+            )(z, batch.edge_mask, **kw)
+            edge_attr = edge_attr + z
+
+        # local GINE
+        from escgnn_tpu.models.layers import GINEConv
+
+        h_local = GINEConv(
+            mlp=MLP(features=(D, D), dropout=cfg.dropout, act=nn.relu),
+            edge_dim=D,
+            name="local_gine",
+        )(
+            h, batch.senders, batch.receivers, edge_attr, batch.edge_mask,
+            batch.node_mask, **kw,
+        )
+        h_local = nn.Dropout(cfg.dropout, deterministic=deterministic)(h_local)
+        h_local = h + h_local
+        h_local = MaskedBatchNorm(name="norm1_local")(
+            h_local, batch.node_mask, use_running_average
+        )
+
+        # global attention
+        h_attn = DenseAttention(
+            D, cfg.num_heads, cfg.use_attn_bias, cfg.spd_vocab,
+            name="self_attn",
+        )(h, batch, deterministic=deterministic)
+        h_attn = nn.Dropout(cfg.dropout, deterministic=deterministic)(h_attn)
+        h_attn = h + h_attn
+        h_attn = MaskedBatchNorm(name="norm1_attn")(
+            h_attn, batch.node_mask, use_running_average
+        )
+
+        h = h_local + h_attn
+
+        # feed-forward
+        ff = TorchDense(2 * D, name="ff_linear1")(h)
+        ff = nn.relu(ff)
+        ff = nn.Dropout(cfg.dropout, deterministic=deterministic)(ff)
+        ff = TorchDense(D, name="ff_linear2")(ff)
+        ff = nn.Dropout(cfg.dropout, deterministic=deterministic)(ff)
+        h = h + ff
+        h = MaskedBatchNorm(name="norm2")(
+            h, batch.node_mask, use_running_average
+        )
+        return h, edge_attr
+
+
+class GPSModel(nn.Module):
+    cfg: GPSConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        batch: GraphBatch,
+        *,
+        deterministic: bool = True,
+        use_running_average: bool = True,
+    ):
+        cfg = self.cfg
+        D = cfg.dim_h
+        h = nn.Embed(
+            cfg.node_vocab, D, embedding_init=nn.initializers.normal(1.0),
+            name="node_encoder",
+        )(batch.x.astype(jnp.int32).reshape(batch.x.shape[0]))
+        edge_attr = nn.Embed(
+            cfg.edge_vocab, D, embedding_init=nn.initializers.normal(1.0),
+            name="edge_encoder",
+        )(batch.edge_attr.astype(jnp.int32).reshape(batch.edge_attr.shape[0]))
+
+        for i in range(cfg.num_layers):
+            h, edge_attr = GPSLayer(cfg, name=f"layer{i}")(
+                h, edge_attr, batch,
+                deterministic=deterministic,
+                use_running_average=use_running_average,
+            )
+
+        if cfg.graph_pred:
+            if cfg.pool == "add":
+                g = segment_sum(
+                    h, batch.node_graph, batch.num_graphs, mask=batch.node_mask
+                )
+            else:
+                g = segment_mean(
+                    h, batch.node_graph, batch.num_graphs, mask=batch.node_mask
+                )
+        else:
+            g = h
+        g = nn.relu(TorchDense(D // 2, name="head1")(g))
+        return TorchDense(cfg.out_dim, name="head2")(g)

@@ -70,10 +70,15 @@ class MaskedBatchNorm(nn.Module):
     Matches torch BatchNorm1d semantics: normalize with biased batch
     variance in training, update running stats with the unbiased variance,
     momentum 0.1, eps 1e-5, affine.
+
+    `axis_name`: when the row dimension is sharded over a mesh axis
+    (edge-partitioned execution), batch statistics are psum-reduced over
+    that axis so every shard normalizes with the global statistics.
     """
 
     momentum: float = 0.1
     eps: float = 1e-5
+    axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, mask=None, use_running_average: bool = False):
@@ -92,14 +97,19 @@ class MaskedBatchNorm(nn.Module):
         else:
             xf = x.astype(jnp.float32)
             if mask is None:
-                n = jnp.asarray(x.shape[0], jnp.float32)
-                mean = jnp.mean(xf, axis=0)
-                var = jnp.mean(jnp.square(xf - mean), axis=0)
+                m = jnp.ones((x.shape[0], 1), jnp.float32)
             else:
                 m = mask.astype(jnp.float32)[:, None]
-                n = jnp.maximum(jnp.sum(m), 1.0)
-                mean = jnp.sum(xf * m, axis=0) / n
-                var = jnp.sum(jnp.square(xf - mean) * m, axis=0) / n
+            s1 = jnp.sum(xf * m, axis=0)
+            s2 = jnp.sum(xf * xf * m, axis=0)
+            n = jnp.sum(m)
+            if self.axis_name is not None:
+                s1 = jax.lax.psum(s1, self.axis_name)
+                s2 = jax.lax.psum(s2, self.axis_name)
+                n = jax.lax.psum(n, self.axis_name)
+            n = jnp.maximum(n, 1.0)
+            mean = s1 / n
+            var = jnp.maximum(s2 / n - mean * mean, 0.0)
             if not self.is_initializing():
                 unbiased = var * n / jnp.maximum(n - 1.0, 1.0)
                 ra_mean.value = (
@@ -125,12 +135,15 @@ class MLP(nn.Module):
     dropout: float = 0.0
     act: Callable = nn.relu
     pre_act: bool = False
+    axis_name: Optional[str] = None  # rows sharded over this mesh axis
 
     @nn.compact
     def __call__(self, x, mask=None, *, deterministic: bool, use_running_average: bool):
         def block_tail(h):
             h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
-            h = MaskedBatchNorm()(h, mask, use_running_average)
+            h = MaskedBatchNorm(axis_name=self.axis_name)(
+                h, mask, use_running_average
+            )
             return self.act(h)
 
         if self.pre_act:
@@ -142,10 +155,17 @@ class MLP(nn.Module):
 
 
 class GINEConv(nn.Module):
-    """PyG-semantics GINEConv over a padded edge list (see module docstring)."""
+    """PyG-semantics GINEConv over a padded edge list (see module docstring).
+
+    `edge_shard_axis`: when edges are sharded over a mesh axis (nodes
+    replicated), each shard aggregates its local edges and the partial
+    node sums are psum-combined over ICI — the edge-partitioned execution
+    of the message passing.
+    """
 
     mlp: nn.Module
     edge_dim: Optional[int] = None  # project edge features to in_channels
+    edge_shard_axis: Optional[str] = None
 
     @nn.compact
     def __call__(
@@ -172,6 +192,8 @@ class GINEConv(nn.Module):
             mask=edge_mask,
             indices_are_sorted=True,
         )
+        if self.edge_shard_axis is not None:
+            agg = jax.lax.psum(agg, self.edge_shard_axis)
         out = (1.0 + eps) * x + agg
         return self.mlp(
             out,

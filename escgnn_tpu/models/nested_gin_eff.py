@@ -48,7 +48,14 @@ class NestedGINEffConfig:
     node_embed_dim: int = 32
     edge_embed_vocab: int = 0  # >0: concat edge-type embedding onto z_emb
     edge_embed_dim: int = 32
+    # QM9 variant (reference qm9_models.py:25-139):
+    concat_pos: bool = False  # x = [x ‖ pos]
+    node_add_embed_vocab: int = 0  # >0: x += Embedding(vocab)(node_type)
+    edge_float_attr: bool = False  # concat continuous edge_attr onto z_emb
     compute_dtype: str = "float32"  # float32 | bfloat16 for conv stacks
+    # edge-partitioned execution: edges sharded over this mesh axis, nodes
+    # replicated; partial aggregations psum over ICI (see parallel/)
+    edge_shard_axis: Optional[str] = None
 
 
 def _act(name: str):
@@ -86,6 +93,16 @@ class NestedGINEff(nn.Module):
             )
             x = emb(x.astype(jnp.int32).reshape(x.shape[0]))
         x = x.astype(jnp.float32)
+        if cfg.concat_pos:
+            x = jnp.concatenate([x, batch.pos.astype(jnp.float32)], axis=-1)
+        if cfg.node_add_embed_vocab:
+            node_type = batch.extras["node_type"].astype(jnp.int32)
+            x = x + nn.Embed(
+                cfg.node_add_embed_vocab,
+                x.shape[-1],
+                embedding_init=nn.initializers.normal(1.0),
+                name="node_type_embedding",
+            )(node_type.reshape(node_type.shape[0]))
 
         # --- per-edge structural embedding ---
         z_table = self.param(
@@ -94,7 +111,7 @@ class NestedGINEff(nn.Module):
         z_emb = zemb_weighted_gather(z_table, batch.enc_idx, batch.enc_cnt)
         z_emb = MLP(
             features=(H,), dropout=cfg.dropout, act=act, pre_act=True,
-            name="z_embedding",
+            axis_name=cfg.edge_shard_axis, name="z_embedding",
         )(z_emb, edge_mask, **kw)
         if cfg.edge_embed_vocab:
             eemb = nn.Embed(
@@ -107,6 +124,11 @@ class NestedGINEff(nn.Module):
             z_emb = jnp.concatenate(
                 [z_emb, eemb(ea.astype(jnp.int32).reshape(ea.shape[0]))], axis=-1
             )
+        if cfg.edge_float_attr:
+            ea = batch.edge_attr.astype(jnp.float32)
+            z_emb = jnp.concatenate(
+                [z_emb, ea.reshape(ea.shape[0], -1)], axis=-1
+            )
 
         cdt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
 
@@ -115,6 +137,7 @@ class NestedGINEff(nn.Module):
             return GINEConv(
                 mlp=MLP(features=(H, H), dropout=cfg.dropout, act=act),
                 edge_dim=z_emb.shape[-1],
+                edge_shard_axis=cfg.edge_shard_axis,
                 name=name,
             )
 

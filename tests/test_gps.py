@@ -1,0 +1,64 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from escgnn_tpu.data.batching import BatchSpec, pad_and_batch
+from escgnn_tpu.data.container import GraphData
+from escgnn_tpu.featurize.escgnn import EscConfig
+from escgnn_tpu.featurize.spd import attach_attn_bias
+from escgnn_tpu.featurize.transform import esc_transform
+from escgnn_tpu.models.gps import GPSConfig, GPSModel
+from tests.conftest import random_graph
+
+
+@pytest.fixture(scope="module")
+def gps_batch():
+    rng = np.random.default_rng(0)
+    cfg = EscConfig(h=2, use_rd=True, self_loop=True)
+    graphs = []
+    for _ in range(3):
+        n, ei = random_graph(rng, max_n=8)
+        g = GraphData(
+            num_nodes=n,
+            edge_index=ei,
+            x=rng.integers(0, 20, n).astype(np.int32)[:, None],
+            edge_attr=rng.integers(1, 4, ei.shape[1]).astype(np.int32),
+            y=rng.normal(size=(1,)).astype(np.float32),
+        )
+        g = esc_transform(g, cfg)
+        g = attach_attn_bias(g)
+        graphs.append(g)
+    spec = BatchSpec.from_graphs(graphs, batch_size=3)
+    assert spec.max_nodes_per_graph > 0
+    return jax.tree.map(jnp.asarray, pad_and_batch(graphs, spec))
+
+
+def test_gps_forward_with_bias(gps_batch):
+    cfg = GPSConfig(dim_h=16, num_layers=2, num_heads=2, use_attn_bias=True)
+    model = GPSModel(cfg)
+    variables = model.init(jax.random.key(0), gps_batch)
+    out = jax.jit(lambda v, b: model.apply(v, b))(variables, gps_batch)
+    assert out.shape == (gps_batch.num_graphs, 1)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_gps_forward_no_esc(gps_batch):
+    cfg = GPSConfig(
+        dim_h=16, num_layers=1, num_heads=4, use_esc=False, use_attn_bias=True
+    )
+    model = GPSModel(cfg)
+    variables = model.init(jax.random.key(1), gps_batch)
+    out = model.apply(variables, gps_batch)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_attn_bias_batch_shape(gps_batch):
+    ab = gps_batch.extras["attn_bias"]
+    G, M, M2 = ab.shape
+    assert M == M2 and G == gps_batch.num_graphs
+    # diagonal of real slots is 0 (self distance)
+    nm = np.asarray(gps_batch.node_mask)
+    ng = np.asarray(gps_batch.node_graph)[nm]
+    nl = np.asarray(gps_batch.node_local)[nm]
+    assert np.all(np.asarray(ab)[ng, nl, nl] == 0)
