@@ -25,11 +25,14 @@ class NodeSubgraphConfig:
     h: int = 3
     use_rd: bool = False
     node_label: str = "hop"  # hop | spd (== spd2) | drnl
+    keep_orig_adj: bool = False  # store dense original adjacency (NestedPPGN)
 
     def cache_key(self) -> str:
         key = f"ngnn_h{self.h}_{self.node_label}"
         if self.use_rd:
             key += "_rd"
+        if self.keep_orig_adj:
+            key += "_adj"
         return key
 
 
@@ -112,6 +115,13 @@ def create_node_subgraphs(g: GraphData, cfg: NodeSubgraphConfig) -> GraphData:
         "node_to_subgraph": node_to_subgraph,
         "num_subgraphs": n,
     }
+    if cfg.keep_orig_adj:
+        # subgraph v is rooted at original node v, so the graph-level
+        # coupling between subgraphs IS the original adjacency (the
+        # `original_edge_index` channel of reference `kernel/ppgn.py:192`).
+        adj = np.zeros((n, n), np.float32)
+        adj[ei[0], ei[1]] = 1.0
+        extras["orig_adj"] = adj
 
     if cfg.use_rd:
         max_s = int(sizes.max())

@@ -1,0 +1,171 @@
+"""GINE+ — multihop GIN with per-distance history mixing.
+
+Capability mirror of reference `modules/gine_operations.py`:
+  * GINEPLUS conv (`:335-362`): result = (1 + eps[0]) * x_now +
+    sum_{d=1..k} (1 + eps[d]) * sum_{(j->i), dist=d} relu(x^{(d-1 ago)}_j
+    [+ bond_emb if d == 1]), then MLP(dim -> 2dim -> BN -> ReLU -> dim).
+    The message at distance d reads the node state from d-1 layers back
+    (the "XX" history list).
+  * ConvBlock (`:108-167`): virtual-node broadcast into the newest state,
+    conv, BN, ReLU (skipped on last layer), dropout, virtual-node
+    aggregation (add-pool + MLP).
+  * ClassifierNetwork (`:196-253`): AtomEncoder input, `layers` ConvBlocks
+    with k_i = min(i + 1, k), optional nested subgraph pooling, mean
+    graph pooling + Linear head.
+
+TPU design: the multihop edge list (featurize/multihop.py) is ONE padded
+edge set with an `edge_distance` extra; every hop's messages flow in a
+single gather + segment-sum — the per-edge source state is gathered from a
+stacked (k, N, F) history tensor by (distance - 1, sender), and the
+(1 + eps[d]) scale rides on the message. No per-distance edge subsets, no
+dynamic shapes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from escgnn_tpu.data.container import GraphBatch
+from escgnn_tpu.models.layers import MaskedBatchNorm, TorchDense
+from escgnn_tpu.models.ogb_gnn import (
+    ATOM_FEATURE_DIMS,
+    BOND_FEATURE_DIMS,
+    FeatureSumEncoder,
+)
+from escgnn_tpu.ops.segment import segment_mean, segment_sum
+
+
+class GINEPlusConv(nn.Module):
+    """One GINEPLUS propagation over the multihop edge list (see module
+    docstring). `xx` is the history list, newest first; `k` distances are
+    mixed (k <= len(xx))."""
+
+    features: int
+    k: int
+
+    @nn.compact
+    def __call__(
+        self, xx, senders, receivers, distance, bond_emb, edge_mask,
+        node_mask, *, use_running_average: bool,
+    ):
+        F = self.features
+        n = xx[0].shape[0]
+        k = self.k
+        eps = self.param("eps", nn.initializers.zeros, (k + 1, F))
+        # (k, N, F) history stack; distance-d edges read xx[d-1]
+        hist = jnp.stack(xx[:k], axis=0)
+        d = distance.astype(jnp.int32).reshape(-1)
+        valid = edge_mask & (d >= 1) & (d <= k)
+        dd = jnp.clip(d - 1, 0, k - 1)
+        x_src = hist[dd, senders]  # (E, F)
+        msg = x_src + jnp.where((d == 1)[:, None], bond_emb, 0.0)
+        msg = nn.relu(msg) * (1.0 + eps[jnp.clip(d, 0, k)])
+        agg = segment_sum(
+            msg, receivers, n, mask=valid, indices_are_sorted=True
+        )
+        h = (1.0 + eps[0]) * xx[0] + agg
+        # MLP(dim -> 2 dim -> BN -> ReLU -> dim) (`gine_operations.py:24-35`)
+        h = TorchDense(2 * F, name="mlp_0")(h)
+        h = MaskedBatchNorm(name="mlp_bn")(h, node_mask, use_running_average)
+        h = nn.relu(h)
+        return TorchDense(F, name="mlp_1")(h)
+
+
+@dataclasses.dataclass(frozen=True)
+class GINEPlusConfig:
+    hidden: int = 100
+    out_dim: int = 128
+    num_layers: int = 3
+    dropout: float = 0.5
+    k: int = 4
+    virtual_node: bool = False
+    nested: bool = False  # pool node -> subgraph before graph pooling
+    subgraph_pooling: str = "mean"  # mean | sum | max
+    atom_encoder: bool = True  # OGB AtomEncoder; else Embed(node_vocab)
+    node_vocab: int = 32
+
+
+class GINEPlusNetwork(nn.Module):
+    """ClassifierNetwork (`modules/gine_operations.py:196-253`)."""
+
+    cfg: GINEPlusConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        batch: GraphBatch,
+        *,
+        deterministic: bool = True,
+        use_running_average: bool = True,
+    ):
+        cfg = self.cfg
+        F = cfg.hidden
+        node_mask, edge_mask = batch.node_mask, batch.edge_mask
+        G = batch.num_graphs
+        distance = batch.extras["edge_distance"]
+
+        if cfg.atom_encoder:
+            h = FeatureSumEncoder(ATOM_FEATURE_DIMS, F, name="atom_encoder")(
+                batch.x.astype(jnp.int32)
+            )
+        else:
+            h = nn.Embed(
+                cfg.node_vocab, F,
+                embedding_init=nn.initializers.normal(1.0), name="node_embed",
+            )(batch.x.astype(jnp.int32).reshape(batch.x.shape[0]))
+
+        if cfg.virtual_node:
+            vn = jnp.zeros((G, F), h.dtype) + self.param(
+                "v0", nn.initializers.zeros, (F,)
+            )
+
+        xx = [h]
+        for layer in range(cfg.num_layers):
+            last = layer == cfg.num_layers - 1
+            if cfg.virtual_node:
+                xx[0] = xx[0] + jnp.take(vn, batch.node_graph, axis=0)
+            bond_emb = FeatureSumEncoder(
+                BOND_FEATURE_DIMS, F, name=f"bond_encoder_{layer}"
+            )(batch.edge_attr.astype(jnp.int32))
+            h = GINEPlusConv(F, k=min(layer + 1, cfg.k), name=f"conv{layer}")(
+                xx, batch.senders, batch.receivers, distance, bond_emb,
+                edge_mask, node_mask, use_running_average=use_running_average,
+            )
+            h = MaskedBatchNorm(name=f"norm{layer}")(
+                h, node_mask, use_running_average
+            )
+            if not last:
+                h = nn.relu(h)
+            h = nn.Dropout(cfg.dropout, deterministic=deterministic)(h)
+            if cfg.virtual_node and not last:
+                vpool = segment_sum(h, batch.node_graph, G, mask=node_mask)
+                v = vn + vpool
+                v = TorchDense(2 * F, name=f"vn_mlp0_{layer}")(v)
+                v = MaskedBatchNorm(name=f"vn_bn0_{layer}")(
+                    v, batch.graph_mask, use_running_average
+                )
+                v = nn.relu(v)
+                v = TorchDense(F, name=f"vn_mlp1_{layer}")(v)
+                v = MaskedBatchNorm(name=f"vn_bn1_{layer}")(
+                    v, batch.graph_mask, use_running_average
+                )
+                v = nn.relu(v)
+                vn = nn.Dropout(cfg.dropout, deterministic=deterministic)(v)
+            xx = [h] + xx
+
+        h = xx[0]
+        if cfg.nested:
+            S = batch.segment_mask.shape[0]
+            if cfg.subgraph_pooling == "sum":
+                h = segment_sum(h, batch.node_segment, S, mask=node_mask)
+            else:
+                h = segment_mean(h, batch.node_segment, S, mask=node_mask)
+            g = segment_mean(
+                h, batch.segment_graph, G, mask=batch.segment_mask
+            )
+        else:
+            g = segment_mean(h, batch.node_graph, G, mask=node_mask)
+        return TorchDense(cfg.out_dim, name="head")(g)
