@@ -95,6 +95,10 @@ def main():
             node_embed_dim=32,
             edge_embed_vocab=100,
             edge_embed_dim=32,
+            # bf16 conv stacks (f32 master params + f32 loss/accumulation):
+            # the TPU-idiomatic precision for training; the f32 backward of
+            # the same step hits a ~20x slower XLA path (tools/ops_bench.py)
+            compute_dtype="bfloat16",
         )
     )
     rng = jax.random.key(0)

@@ -19,6 +19,12 @@ from escgnn_tpu.models.baselines import (
 from escgnn_tpu.models.idgnn import IDGNN, IDGNNConfig
 from escgnn_tpu.models.gine_plus import GINEPlusConfig, GINEPlusNetwork
 from escgnn_tpu.models.nested_ppgn import NestedPPGN, NestedPPGNConfig
+from escgnn_tpu.models.kgnn_models import (
+    KGNN,
+    KGNNConfig,
+    KSetGraphConv,
+    NNConv,
+)
 from escgnn_tpu.models.registry import get_model, register_model
 
 register_model("NestedGIN_eff")(
@@ -37,6 +43,18 @@ register_model("GINEPlus")(
     lambda **kw: GINEPlusNetwork(GINEPlusConfig(**kw))
 )
 register_model("NestedPPGN")(lambda **kw: NestedPPGN(NestedPPGNConfig(**kw)))
+register_model("k1_GNN")(
+    lambda **kw: KGNN(KGNNConfig(levels=(), nested=False, **kw))
+)
+register_model("Nested_k12_GNN")(
+    lambda **kw: KGNN(KGNNConfig(levels=(2,), **kw))
+)
+register_model("Nested_k13_GNN")(
+    lambda **kw: KGNN(KGNNConfig(levels=(3,), **kw))
+)
+register_model("Nested_k123_GNN")(
+    lambda **kw: KGNN(KGNNConfig(levels=(2, 3), **kw))
+)
 
 __all__ = [
     "MaskedBatchNorm",
@@ -62,6 +80,10 @@ __all__ = [
     "GINEPlusConfig",
     "NestedPPGN",
     "NestedPPGNConfig",
+    "KGNN",
+    "KGNNConfig",
+    "KSetGraphConv",
+    "NNConv",
     "get_model",
     "register_model",
     "torch_linear_kernel_init",

@@ -95,6 +95,9 @@ def main():
     p.add_argument("--num_workers", type=int, default=0)
     p.add_argument("--data_dir", default="data")
     p.add_argument("--res_dir", default=None)
+    p.add_argument("--compute_dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="conv-stack compute dtype (f32 master params)")
     args = p.parse_args()
 
     res_dir = args.res_dir or os.path.join(
@@ -122,6 +125,7 @@ def main():
         act="relu",
         use_x_embedding_jk=True,
         out_dim=1,
+        compute_dtype=args.compute_dtype,
     )
     model = NestedGINEff(mcfg)
 
