@@ -1,0 +1,196 @@
+#!/usr/bin/env python
+"""GPS config-driven driver — the GraphGPS-subsystem entry point.
+
+Capability mirror of reference `GraphGPS/main.py`: load a YAML config
+(+ dotted overrides), dump the resolved config, loop over `num_runs`
+seeds, build the dataset with the ESC pre-transform + SPD attn_bias
+(`graphgps/loader/master_loader.py:29-33,380-397`), train a GPSModel with
+periodic/best checkpointing and auto-resume
+(`graphgps/train/custom_train.py:96-188`), and aggregate metrics across
+runs (`main.py:309` agg_runs).
+
+Usage:
+  python run_gps.py --cfg configs/gps/zinc-GPS.yaml optim.base_lr 0.002
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from escgnn_tpu.config import agg_runs, dump_cfg, load_cfg
+from escgnn_tpu.data.batching import BatchSpec, batch_iterator
+from escgnn_tpu.data.molecules import synthetic_zinc
+from escgnn_tpu.featurize.cache import cached_featurize
+from escgnn_tpu.featurize.escgnn import EscConfig
+from escgnn_tpu.featurize.spd import attach_attn_bias
+from escgnn_tpu.featurize.transform import featurize_many
+from escgnn_tpu.models.gps import GPSConfig, GPSModel
+from escgnn_tpu.train.checkpoint import CheckpointManager
+from escgnn_tpu.train.loop import (
+    PlateauScheduler,
+    TrainState,
+    adam_with_plateau,
+    get_learning_rate,
+    l1_graph_loss,
+    make_eval_step,
+    make_train_step,
+    set_learning_rate,
+)
+
+
+def build_dataset(cfg, seed: int):
+    d = cfg.dataset
+    ecfg = EscConfig(
+        h=d.esc.h, use_rd=d.esc.use_rd, self_loop=d.esc.self_loop,
+        max_nodes_per_hop=d.esc.max_nodes_per_hop or None,
+    )
+    raw = synthetic_zinc(num_graphs=d.num_graphs, seed=seed)
+    n_tr, n_val = int(0.8 * len(raw)), int(0.1 * len(raw))
+    raw_splits = {
+        "train": raw[:n_tr],
+        "val": raw[n_tr:n_tr + n_val],
+        "test": raw[n_tr + n_val:],
+    }
+    splits = {}
+    for name, graphs in raw_splits.items():
+        def make(graphs=graphs):
+            out = featurize_many(graphs, ecfg, num_workers=0) \
+                if d.esc.enable else list(graphs)
+            if d.attn_bias:
+                out = [attach_attn_bias(g) for g in out]
+            return out
+
+        key = (
+            f"gps_{name}_n{d.num_graphs}_s{seed}_{ecfg.cache_key()}"
+            f"_bias{int(d.attn_bias)}"
+        )
+        splits[name] = cached_featurize(
+            os.path.join(d.dir, "gps_synth"), key, make
+        )
+    ys = np.concatenate([g.y for s in ("train", "val") for g in splits[s]])
+    mean, std = float(ys.mean()), float(ys.std(ddof=1))
+    for s in splits.values():
+        for g in s:
+            g.y = ((g.y - mean) / std).astype(np.float32)
+    return splits, mean, std
+
+
+def run_one(cfg, seed: int, out_dir: str) -> dict:
+    splits, mean, std = build_dataset(cfg, seed)
+    all_graphs = [g for s in splits.values() for g in s]
+    spec = BatchSpec.from_graphs(all_graphs, batch_size=cfg.train.batch_size)
+
+    m = cfg.model
+    model = GPSModel(GPSConfig(
+        dim_h=m.dim_h, num_layers=m.num_layers, num_heads=m.num_heads,
+        dropout=m.dropout, attn_dropout=m.attn_dropout, use_esc=m.use_esc,
+        use_attn_bias=m.use_attn_bias, pool=m.pool, out_dim=m.out_dim,
+        node_vocab=m.node_vocab, edge_vocab=m.edge_vocab,
+    ))
+    rng = jax.random.key(seed)
+    init_b = jax.tree.map(
+        jnp.asarray, next(batch_iterator(splits["train"][:2], spec))
+    )
+    variables = model.init(rng, init_b)
+    state = TrainState.create(
+        variables["params"], variables.get("batch_stats", {}),
+        adam_with_plateau(cfg.optim.base_lr),
+    )
+    n_params = sum(
+        int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(state.params)
+    )
+    print(f"[seed {seed}] params: {n_params / 1e6:.2f}M")
+
+    train_step = make_train_step(model, l1_graph_loss)
+    eval_step = make_eval_step(model, node_level=False)
+    sched = PlateauScheduler(
+        factor=cfg.optim.lr_decay_factor, patience=cfg.optim.patience,
+        min_lr=cfg.optim.min_lr,
+    )
+    ckpt = CheckpointManager(os.path.join(out_dir, f"ckpt_s{seed}"))
+
+    start_epoch = 1
+    if cfg.train.auto_resume and ckpt.latest_step() is not None:
+        state = ckpt.restore(template=state)
+        start_epoch = int(state.step) // max(
+            1, len(splits["train"]) // cfg.train.batch_size
+        ) + 1
+        print(f"[seed {seed}] auto-resumed at epoch {start_epoch}")
+
+    def evaluate(graphs):
+        tot = cnt = 0.0
+        for b in batch_iterator(graphs, spec):
+            b = jax.tree.map(jnp.asarray, b)
+            s, c = eval_step(state.params, state.batch_stats, b)
+            tot += float(s)
+            cnt += float(c)
+        return tot / max(cnt, 1.0)
+
+    np_rng = np.random.default_rng(seed)
+    best_val, best_test, best_epoch = float("inf"), float("inf"), -1
+    t0 = time.time()
+    for epoch in range(start_epoch, cfg.train.epochs + 1):
+        losses = []
+        for b in batch_iterator(splits["train"], spec, shuffle=True,
+                                rng=np_rng):
+            b = jax.tree.map(jnp.asarray, b)
+            rng, sub = jax.random.split(rng)
+            state, loss = train_step(state, b, sub)
+            losses.append(loss)
+        if epoch % cfg.train.eval_period == 0:
+            val = evaluate(splits["val"])
+            test = evaluate(splits["test"])
+            if val < best_val:
+                best_val, best_test, best_epoch = val, test, epoch
+                if cfg.train.ckpt_best:
+                    ckpt.save(int(state.step), state, force=True)
+            if cfg.optim.scheduler == "plateau":
+                lr = sched.step(val, get_learning_rate(state))
+                state = set_learning_rate(state, lr)
+            print(
+                f"[seed {seed}] epoch {epoch:03d} lr "
+                f"{get_learning_rate(state):.6f} loss "
+                f"{float(np.mean([float(l) for l in losses])):.5f} "
+                f"val MAE {val * std:.5f} test MAE {test * std:.5f}"
+            )
+        if epoch % cfg.train.ckpt_period == 0:
+            ckpt.save(int(state.step), state)
+    return {
+        "best_val_mae": best_val * std,
+        "best_test_mae": best_test * std,
+        "best_epoch": best_epoch,
+        "train_time_s": time.time() - t0,
+    }
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--cfg", default=None, help="YAML config path")
+    p.add_argument("opts", nargs="*", help="dotted key value overrides")
+    args = p.parse_args()
+
+    cfg = load_cfg(args.cfg, args.opts)
+    out_dir = os.path.join(
+        cfg.out_dir, time.strftime("%Y%m%d%H%M%S")
+    )
+    dump_cfg(cfg, out_dir)
+
+    results = []
+    for run in range(cfg.num_runs):
+        results.append(run_one(cfg, cfg.seed + run, out_dir))
+        print(f"[run {run}] {results[-1]}")
+    agg = agg_runs(results)
+    with open(os.path.join(out_dir, "agg.json"), "w") as f:
+        json.dump({"runs": results, "agg": agg}, f, indent=2)
+    print("aggregated:", json.dumps(agg))
+
+
+if __name__ == "__main__":
+    main()
