@@ -156,6 +156,66 @@ def make_train_step(
     return train_step
 
 
+def make_multi_train_step(
+    model,
+    loss_fn: Callable[[jax.Array, GraphBatch], jax.Array],
+):
+    """K train steps per device dispatch via `lax.scan` over stacked
+    batches.
+
+    Rationale: on this setup the per-dispatch round trip to the device
+    (remote-execution tunnel) exceeds the per-step compute (~9 ms vs
+    ~4 ms measured on the ZINC flagship step), so dispatching one step
+    per batch caps throughput below the hardware. Stacking K host
+    batches (leading axis K on every array, `stack_batches`) and
+    scanning on device amortizes the dispatch to 1/K per step.
+    """
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def multi_step(state: TrainState, batches: GraphBatch, rng: jax.Array):
+        def compute(params, batch_stats, batch, step_rng):
+            out, mut = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                batch,
+                deterministic=False,
+                use_running_average=False,
+                mutable=["batch_stats"],
+                rngs={"dropout": step_rng},
+            )
+            return loss_fn(out, batch), mut["batch_stats"]
+
+        def body(state, batch):
+            step_rng = jax.random.fold_in(rng, state.step)
+            (loss, new_stats), grads = jax.value_and_grad(
+                compute, has_aux=True
+            )(state.params, state.batch_stats, batch, step_rng)
+            updates, new_opt = state.tx.update(
+                grads, state.opt_state, state.params
+            )
+            new_params = optax.apply_updates(state.params, updates)
+            return (
+                state.replace(
+                    step=state.step + 1,
+                    params=new_params,
+                    batch_stats=new_stats,
+                    opt_state=new_opt,
+                ),
+                loss,
+            )
+
+        return jax.lax.scan(body, state, batches)
+
+    return multi_step
+
+
+def stack_batches(batches):
+    """Stack a list of same-shape GraphBatches along a new leading axis
+    (host-side numpy; feed to `make_multi_train_step`)."""
+    import numpy as _np
+
+    return jax.tree.map(lambda *xs: _np.stack(xs), *batches)
+
+
 def make_eval_step(model, node_level: bool = True):
     """Jitted eval: returns (sum |err|, count) over real rows so the caller
     accumulates an exact dataset MAE across fixed-shape batches."""
