@@ -98,6 +98,8 @@ def main():
     p.add_argument("--compute_dtype", default="float32",
                    choices=["float32", "bfloat16"],
                    help="conv-stack compute dtype (f32 master params)")
+    p.add_argument("--analyze", action="store_true",
+                   help="per-count-value MAE breakdown after training")
     args = p.parse_args()
 
     res_dir = args.res_dir or os.path.join(
@@ -195,6 +197,36 @@ def main():
 
     print(f"best val MAE {best_val:.5f}  test MAE {best_test:.5f} "
           f"(normalized: {best_test / std:.5f})")
+
+    if args.analyze:
+        # per-count-value error breakdown (reference `visualize`,
+        # run_graphcount.py:531-581): MAE of the de-normalized prediction
+        # grouped by the true count value.
+        @jax.jit
+        def predict(params, batch_stats, b):
+            return model.apply(
+                {"params": params, "batch_stats": batch_stats}, b,
+                deterministic=True, use_running_average=True,
+            )
+
+        errs: dict[int, list] = {}
+        for b in prefetched_batches(splits["test"], spec):
+            out = np.asarray(
+                predict(state.params, state.batch_stats, b)
+            )[:, 0] * std + mean
+            y = np.asarray(b.y)[:, 0] * std + mean
+            m = np.asarray(b.node_mask)
+            for yt, yp in zip(y[m], out[m]):
+                errs.setdefault(int(round(yt)), []).append(abs(yp - yt))
+        print("count  n      MAE")
+        with open(log_path, "a") as f:
+            for cval in sorted(errs):
+                line = (
+                    f"{cval:5d} {len(errs[cval]):6d} "
+                    f"{float(np.mean(errs[cval])):.5f}"
+                )
+                print(line)
+                f.write(line + "\n")
 
 
 if __name__ == "__main__":
