@@ -40,6 +40,13 @@ class GPSConfig:
     use_esc: bool = True  # inject ESC edge encoding every layer
     use_attn_bias: bool = False  # Graphormer-style SPD bias
     spd_vocab: int = 102  # cap 100 + unreachable + 0
+    # node positional encoders (GraphGPS encoder zoo, graphgps/encoder/*):
+    # extras produced by featurize/posenc.py are projected and added to
+    # the node state before layer 0.
+    use_lap_pe: bool = False  # extras["lap_pe"] -> linear (LapPE/SignNet-lite)
+    use_rwse: bool = False  # extras["rwse"] -> linear (RWSE)
+    use_degree: bool = False  # extras["degree"] -> Embed (Graphormer degree)
+    degree_vocab: int = 64
     node_vocab: int = 100
     edge_vocab: int = 100
     z_dim: int = 1800
@@ -187,6 +194,22 @@ class GPSModel(nn.Module):
             cfg.node_vocab, D, embedding_init=nn.initializers.normal(1.0),
             name="node_encoder",
         )(batch.x.astype(jnp.int32).reshape(batch.x.shape[0]))
+        ex = batch.extras or {}
+        if cfg.use_lap_pe:
+            # sign-invariance-lite: |v| and v both projected (cheap SignNet)
+            pe = ex["lap_pe"].astype(jnp.float32)
+            feats = jnp.concatenate([pe, jnp.abs(pe)], axis=-1)
+            h = h + TorchDense(D, name="lap_pe_encoder")(feats)
+        if cfg.use_rwse:
+            h = h + TorchDense(D, name="rwse_encoder")(
+                ex["rwse"].astype(jnp.float32)
+            )
+        if cfg.use_degree:
+            h = h + nn.Embed(
+                cfg.degree_vocab, D,
+                embedding_init=nn.initializers.normal(0.02),
+                name="degree_encoder",
+            )(ex["degree"].astype(jnp.int32).reshape(-1))
         edge_attr = nn.Embed(
             cfg.edge_vocab, D, embedding_init=nn.initializers.normal(1.0),
             name="edge_encoder",

@@ -41,6 +41,25 @@ def set_backward_matmul_dtype(dtype):
     _BWD_MATMUL_DTYPE = dtype
 
 
+# forward implementation: "gather" (XLA take+einsum, default) or "pallas"
+# (VMEM-resident-table kernel, ops/zemb_pallas.py — opt-in, see its doc).
+_IMPL = "gather"
+
+
+def set_impl(impl: str):
+    global _IMPL
+    assert impl in ("gather", "pallas"), impl
+    _IMPL = impl
+
+
+def _forward(table, enc_idx, enc_cnt):
+    if _IMPL == "pallas":
+        from escgnn_tpu.ops.zemb_pallas import zemb_pallas
+
+        return zemb_pallas(table, enc_idx, enc_cnt)
+    return _gather_reduce(table, enc_idx, enc_cnt)
+
+
 def _gather_reduce(table, enc_idx, enc_cnt):
     rows = jnp.take(table, enc_idx, axis=0)  # (E, P, H)
     return jnp.einsum(
@@ -63,11 +82,11 @@ def zemb_weighted_gather(table, enc_idx, enc_cnt):
 
 @partial(jax.custom_vjp, nondiff_argnums=())
 def _zemb_core(table, enc_idx, enc_cnt):
-    return _gather_reduce(table, enc_idx, enc_cnt)
+    return _forward(table, enc_idx, enc_cnt)
 
 
 def _zemb_fwd(table, enc_idx, enc_cnt):
-    return _gather_reduce(table, enc_idx, enc_cnt), (table, enc_idx, enc_cnt)
+    return _forward(table, enc_idx, enc_cnt), (table, enc_idx, enc_cnt)
 
 
 def _zemb_bwd(res, dZ):
