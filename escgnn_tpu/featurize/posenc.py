@@ -111,6 +111,69 @@ def attach_degree(g: GraphData, cap: int = 64) -> GraphData:
     return _with_extras(g, extras)
 
 
+def heat_kernel_diag(g: GraphData, kernel_times, space_dim: int = 0):
+    """Heat-kernel diagonal per diffusion time
+    (reference `posenc_stats.get_heat_kernels_diag:234-280`):
+    sum_{i: lambda_i > 0} exp(-t lambda_i) phi_i(j)^2, eigvecs
+    L2-normalized per column, optional t^(space_dim/2) correction."""
+    vals, vecs = laplacian_eigendecomposition(g)
+    vecs = vecs / np.clip(
+        np.sqrt((vecs ** 2).sum(0, keepdims=True)), 1e-12, None
+    )
+    keep = vals >= 1e-8
+    vals, vecs = vals[keep], vecs[:, keep]
+    out = np.zeros((g.num_nodes, len(kernel_times)), np.float32)
+    sq = vecs ** 2
+    for c, t in enumerate(kernel_times):
+        k = (np.exp(-t * vals)[None, :] * sq).sum(1)
+        out[:, c] = k * (t ** (space_dim / 2))
+    return out
+
+
+def attach_heat_kernel_diag(
+    g: GraphData, kernel_times=(1.0, 2.0, 4.0), space_dim: int = 0
+) -> GraphData:
+    extras = dict(g.extras or {})
+    extras["hkdiag"] = heat_kernel_diag(g, list(kernel_times), space_dim)
+    return _with_extras(g, extras)
+
+
+def electrostatic_encoding(g: GraphData) -> np.ndarray:
+    """Green's-function ("electrostatic") node statistics
+    (reference `posenc_stats.get_electrostatic_function_encoding:323-350`):
+    10 per-node statistics of the Laplacian pseudoinverse with its
+    diagonal subtracted column-wise, plus direct-neighbour interactions.
+    """
+    n = g.num_nodes
+    A = np.zeros((n, n), np.float64)
+    ei = np.asarray(g.edge_index)
+    if ei.size:
+        A[ei[0], ei[1]] = 1.0
+    A = np.maximum(A, A.T)
+    np.fill_diagonal(A, 0.0)
+    deg = A.sum(1)
+    L = np.diag(deg) - A
+    dinv = np.where(deg > 0, 1.0 / np.clip(deg, 1e-12, None), 0.0)
+    DinvA = np.diag(dinv) @ np.abs(A)
+    el = np.linalg.pinv(L)
+    el = el - np.diag(el)[None, :]  # torch `x - x.diag()` broadcasts rows
+    enc = np.stack(
+        [
+            el.min(0), el.max(0), el.mean(0), el.std(0),
+            el.min(1), el.max(0), el.mean(1), el.std(1),
+            (DinvA * el).sum(0), (DinvA * el).sum(1),
+        ],
+        axis=1,
+    ).astype(np.float32)
+    return enc
+
+
+def attach_electrostatic(g: GraphData) -> GraphData:
+    extras = dict(g.extras or {})
+    extras["elstatic"] = electrostatic_encoding(g)
+    return _with_extras(g, extras)
+
+
 def _with_extras(g: GraphData, extras: dict) -> GraphData:
     return GraphData(
         num_nodes=g.num_nodes, edge_index=g.edge_index, x=g.x,

@@ -8,9 +8,15 @@ blocks: per block, P in-VMEM row-gathers + multiply-accumulate, one HBM
 write of the (BE, H) output. Data movement drops to idx/cnt in + z_emb
 out (~17 MB total vs ~600 MB for the gather form).
 
-Status: opt-in (`escgnn_tpu.ops.zemb.set_impl("pallas")`). Correctness is
-covered by interpret-mode tests; enable after benchmarking on the target
-chip (the shared compile service was too backed up to time it in-repo).
+Status: opt-in (`escgnn_tpu.ops.zemb.set_impl("pallas")`), correctness
+covered by interpret-mode tests. Measured on v5e at ZINC batch shapes
+(E=12160, P=48, H=256): 4.99 ms/fwd vs 6.4 ms for the XLA gather in the
+same scan-xs setting — a win, but the production path (gather fwd +
+blocked-matmul VJP, whole-step 7.3 ms) still beats routing through this
+kernel because the compare-accumulate C build is VPU-bound at
+O(E*P*Z) work. A true row-gather primitive (unavailable in Mosaic at
+this JAX version: dynamic_gather requires equal input/indices/output
+shapes) would drop this to O(E*P*H) ~ 0.2 ms; revisit when available.
 """
 
 from __future__ import annotations
@@ -24,23 +30,27 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(idx_ref, cnt_ref, table_ref, out_ref, *, block_e: int, width: int):
-    table = table_ref[:]  # (Z, H), VMEM-resident
+    # Mosaic has no general row-gather (dynamic_gather wants equal
+    # input/indices/output shapes), so the per-block reduce is expressed
+    # as: build the (BE, Z) sparse coefficient tile in VMEM with P
+    # compare-accumulate passes (VPU), then ONE (BE, Z) @ (Z, H) MXU
+    # matmul against the VMEM-resident table.
+    table = table_ref[:].astype(jnp.bfloat16)  # (Z, H)
     idx = idx_ref[:]  # (BE, P) int32
     cnt = cnt_ref[:]  # (BE, P) f32
     P = idx.shape[1]
+    Z = table.shape[0]
 
-    def body(p, acc):
-        rows = jnp.take(table, idx[:, p], axis=0)  # (BE, H) VMEM gather
-        return acc + rows * cnt[:, p][:, None]
-
-    acc = jax.lax.fori_loop(
-        0, P, body, jnp.zeros((block_e, width), jnp.float32)
-    )
-    out_ref[:] = acc
+    iota_z = jax.lax.broadcasted_iota(jnp.int32, (block_e, Z), 1)
+    C = jnp.zeros((block_e, Z), jnp.bfloat16)
+    for p in range(P):  # static unroll; P is small (<= ~72)
+        hit = iota_z == idx[:, p][:, None]
+        C = C + jnp.where(hit, cnt[:, p][:, None], 0.0).astype(jnp.bfloat16)
+    out_ref[:] = jnp.dot(C, table, preferred_element_type=jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("block_e", "interpret"))
-def zemb_pallas(table, enc_idx, enc_cnt, block_e: int = 256,
+def zemb_pallas(table, enc_idx, enc_cnt, block_e: int = 128,
                 interpret: bool = False):
     """Forward-only Pallas z-emb reduce. (E, P) int/float -> (E, H) f32.
 

@@ -1,4 +1,9 @@
-"""Pallas z-emb kernel correctness (interpret mode on CPU)."""
+"""Pallas z-emb kernel correctness (interpret mode on CPU).
+
+The kernel computes in bf16 (C tile + table) with f32 accumulation, so
+agreement with the f32 gather reference is rounding-level, checked via
+cosine similarity and a scale-relative error bound.
+"""
 
 import jax.numpy as jnp
 import numpy as np
@@ -7,15 +12,23 @@ from escgnn_tpu.ops.zemb import _gather_reduce
 from escgnn_tpu.ops.zemb_pallas import zemb_pallas
 
 
+def _close_bf16(out, ref):
+    a = np.asarray(out).ravel()
+    b = np.asarray(ref).ravel()
+    cos = a.dot(b) / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12)
+    assert cos > 0.9999, cos
+    scale = np.abs(b).max() + 1e-12
+    assert np.max(np.abs(a - b)) / scale < 3e-2
+
+
 def test_pallas_matches_gather(rng):
     E, P, Z, H = 512, 8, 64, 16
     table = jnp.asarray(rng.normal(size=(Z, H)).astype(np.float32))
     idx = jnp.asarray(rng.integers(0, Z, (E, P)).astype(np.int32))
-    cnt = jnp.asarray((rng.random((E, P)) * 3).astype(np.float32))
+    cnt = jnp.asarray((rng.random((E, P)) * 3).round().astype(np.float32))
     out = zemb_pallas(table, idx, cnt, block_e=128, interpret=True)
     ref = _gather_reduce(table, idx, cnt)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                               rtol=1e-5, atol=1e-5)
+    _close_bf16(out, ref)
 
 
 def test_pallas_int16_wire(rng):
@@ -26,5 +39,16 @@ def test_pallas_int16_wire(rng):
     out = zemb_pallas(table, idx, cnt, block_e=128, interpret=True)
     ref = _gather_reduce(table, idx.astype(jnp.int32),
                          cnt.astype(jnp.float32))
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                               rtol=1e-5, atol=1e-5)
+    _close_bf16(out, ref)
+
+
+def test_pallas_duplicate_buckets_accumulate(rng):
+    # the same bucket appearing twice in one edge's row must sum
+    E, P, Z, H = 128, 4, 16, 8
+    table = jnp.asarray(rng.normal(size=(Z, H)).astype(np.float32))
+    idx = jnp.asarray(np.full((E, P), 3, np.int32))
+    cnt = jnp.asarray(np.ones((E, P), np.float32))
+    out = np.asarray(zemb_pallas(table, idx, cnt, block_e=128,
+                                 interpret=True))
+    want = P * np.asarray(table)[3]
+    np.testing.assert_allclose(out[0], want, rtol=2e-2, atol=1e-3)
