@@ -37,6 +37,8 @@ class GPSConfig:
     num_heads: int = 4
     dropout: float = 0.0
     attn_dropout: float = 0.0
+    local_model: str = "gine"  # gine | gatedgcn (gps_layer.py local zoo)
+    global_model: str = "transformer"  # transformer | linear (Performer-style)
     use_esc: bool = True  # inject ESC edge encoding every layer
     use_attn_bias: bool = False  # Graphormer-style SPD bias
     spd_vocab: int = 102  # cap 100 + unreachable + 0
@@ -108,6 +110,71 @@ class DenseAttention(nn.Module):
         return out[batch.node_graph, batch.node_local]
 
 
+class GatedGCNConv(nn.Module):
+    """Edge-gated graph conv (Bresson & Laurent; the reference's GatedGCN
+    local-model option, `gps_layer.py:60-75`):
+      e'_ij = A x_i + B x_j + C e_ij;  gate = sigmoid(e'_ij)
+      h'_i = U x_i + sum_j gate ⊙ (V x_j) / (sum_j gate + eps)
+    Returns (h', e') — the edge state threads through the layers."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x, senders, receivers, edge_attr, edge_mask):
+        n = x.shape[0]
+        D = self.features
+        e = (
+            TorchDense(D, name="A")(jnp.take(x, receivers, axis=0))
+            + TorchDense(D, name="B")(jnp.take(x, senders, axis=0))
+            + TorchDense(D, name="C")(edge_attr)
+        )
+        gate = jax.nn.sigmoid(e) * edge_mask[:, None]
+        v = TorchDense(D, name="V")(x)
+        num = segment_sum(
+            gate * jnp.take(v, senders, axis=0), receivers, n,
+            indices_are_sorted=True,
+        )
+        den = segment_sum(gate, receivers, n, indices_are_sorted=True)
+        h = TorchDense(D, name="U")(x) + num / (den + 1e-6)
+        return h, e
+
+
+class LinearAttention(nn.Module):
+    """Masked linear (Performer-style) global attention: the elu+1
+    feature map of Katharopoulos et al., O(N d^2) per graph — the
+    reference's Performer option role (`gps_layer.py:86-96`), implemented
+    with segment reductions instead of dense (G, M, M) logits."""
+
+    dim_h: int
+    num_heads: int
+
+    @nn.compact
+    def __call__(self, h, batch: GraphBatch, *, deterministic: bool):
+        D, Hh = self.dim_h, self.num_heads
+        hd = D // Hh
+        n = h.shape[0]
+        G = batch.num_graphs
+        q = TorchDense(D, name="q")(h).reshape(n, Hh, hd)
+        k = TorchDense(D, name="k")(h).reshape(n, Hh, hd)
+        v = TorchDense(D, name="v")(h).reshape(n, Hh, hd)
+        qf = nn.elu(q) + 1.0
+        kf = (nn.elu(k) + 1.0) * batch.node_mask[:, None, None]
+        # per-graph sums: KV (G, Hh, hd, hd) and K (G, Hh, hd)
+        kv = segment_sum(
+            (kf[:, :, :, None] * v[:, :, None, :]).reshape(n, -1),
+            batch.node_graph, G, mask=batch.node_mask,
+        ).reshape(G, Hh, hd, hd)
+        ksum = segment_sum(
+            kf.reshape(n, -1), batch.node_graph, G, mask=batch.node_mask
+        ).reshape(G, Hh, hd)
+        kv_n = jnp.take(kv, batch.node_graph, axis=0)  # (N, Hh, hd, hd)
+        ks_n = jnp.take(ksum, batch.node_graph, axis=0)
+        num = jnp.einsum("nhd,nhde->nhe", qf, kv_n)
+        den = jnp.maximum(jnp.einsum("nhd,nhd->nh", qf, ks_n), 1e-6)
+        out = (num / den[..., None]).reshape(n, D)
+        return TorchDense(D, name="out")(out)
+
+
 class GPSLayer(nn.Module):
     cfg: GPSConfig
 
@@ -134,28 +201,38 @@ class GPSLayer(nn.Module):
             )(z, batch.edge_mask, **kw)
             edge_attr = edge_attr + z
 
-        # local GINE
-        from escgnn_tpu.models.layers import GINEConv
+        # local MPNN (gine | gatedgcn — reference gps_layer.py local zoo)
+        if cfg.local_model == "gatedgcn":
+            h_local, edge_attr = GatedGCNConv(D, name="local_gatedgcn")(
+                h, batch.senders, batch.receivers, edge_attr, batch.edge_mask
+            )
+        else:
+            from escgnn_tpu.models.layers import GINEConv
 
-        h_local = GINEConv(
-            mlp=MLP(features=(D, D), dropout=cfg.dropout, act=nn.relu),
-            edge_dim=D,
-            name="local_gine",
-        )(
-            h, batch.senders, batch.receivers, edge_attr, batch.edge_mask,
-            batch.node_mask, **kw,
-        )
+            h_local = GINEConv(
+                mlp=MLP(features=(D, D), dropout=cfg.dropout, act=nn.relu),
+                edge_dim=D,
+                name="local_gine",
+            )(
+                h, batch.senders, batch.receivers, edge_attr, batch.edge_mask,
+                batch.node_mask, **kw,
+            )
         h_local = nn.Dropout(cfg.dropout, deterministic=deterministic)(h_local)
         h_local = h + h_local
         h_local = MaskedBatchNorm(name="norm1_local")(
             h_local, batch.node_mask, use_running_average
         )
 
-        # global attention
-        h_attn = DenseAttention(
-            D, cfg.num_heads, cfg.use_attn_bias, cfg.spd_vocab,
-            name="self_attn",
-        )(h, batch, deterministic=deterministic)
+        # global attention (dense transformer | linear Performer-style)
+        if cfg.global_model == "linear":
+            h_attn = LinearAttention(
+                D, cfg.num_heads, name="self_attn"
+            )(h, batch, deterministic=deterministic)
+        else:
+            h_attn = DenseAttention(
+                D, cfg.num_heads, cfg.use_attn_bias, cfg.spd_vocab,
+                name="self_attn",
+            )(h, batch, deterministic=deterministic)
         h_attn = nn.Dropout(cfg.dropout, deterministic=deterministic)(h_attn)
         h_attn = h + h_attn
         h_attn = MaskedBatchNorm(name="norm1_attn")(

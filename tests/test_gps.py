@@ -62,3 +62,39 @@ def test_attn_bias_batch_shape(gps_batch):
     ng = np.asarray(gps_batch.node_graph)[nm]
     nl = np.asarray(gps_batch.node_local)[nm]
     assert np.all(np.asarray(ab)[ng, nl, nl] == 0)
+
+
+def test_gps_gatedgcn_linear_attention(gps_batch):
+    cfg = GPSConfig(
+        dim_h=16, num_layers=2, num_heads=2,
+        local_model="gatedgcn", global_model="linear",
+    )
+    model = GPSModel(cfg)
+    variables = model.init(jax.random.key(0), gps_batch)
+    out = model.apply(variables, gps_batch)
+    assert out.shape == (gps_batch.num_graphs, 1)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_linear_attention_padding_invariant(gps_batch):
+    """Linear attention must ignore padding nodes entirely."""
+    from escgnn_tpu.models.gps import LinearAttention
+    import jax.numpy as jnp
+
+    att = LinearAttention(16, 2)
+    h = jnp.asarray(
+        np.random.default_rng(0).normal(
+            size=(gps_batch.num_nodes, 16)
+        ).astype(np.float32)
+    )
+    v = att.init(jax.random.key(0), h, gps_batch, deterministic=True)
+    o1 = att.apply(v, h, gps_batch, deterministic=True)
+    # poison padding rows: output on real rows must not change
+    h2 = jnp.where(
+        gps_batch.node_mask[:, None], h, 1e3
+    )
+    o2 = att.apply(v, h2, gps_batch, deterministic=True)
+    m = np.asarray(gps_batch.node_mask)
+    np.testing.assert_allclose(
+        np.asarray(o1)[m], np.asarray(o2)[m], atol=1e-4
+    )
