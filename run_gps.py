@@ -170,13 +170,60 @@ def run_one(cfg, seed: int, out_dir: str) -> dict:
     }
 
 
+def run_eval_only(cfg, ckpt_dir: str):
+    """Inference-only mode: restore a checkpoint, evaluate val/test."""
+    splits, mean, std = build_dataset(cfg, cfg.seed)
+    all_graphs = [g for s in splits.values() for g in s]
+    spec = BatchSpec.from_graphs(all_graphs, batch_size=cfg.train.batch_size)
+    m = cfg.model
+    model = GPSModel(GPSConfig(
+        dim_h=m.dim_h, num_layers=m.num_layers, num_heads=m.num_heads,
+        dropout=m.dropout, attn_dropout=m.attn_dropout, use_esc=m.use_esc,
+        use_attn_bias=m.use_attn_bias, pool=m.pool, out_dim=m.out_dim,
+        node_vocab=m.node_vocab, edge_vocab=m.edge_vocab,
+    ))
+    init_b = jax.tree.map(
+        jnp.asarray, next(batch_iterator(splits["train"][:2], spec))
+    )
+    variables = model.init(jax.random.key(cfg.seed), init_b)
+    state = TrainState.create(
+        variables["params"], variables.get("batch_stats", {}),
+        adam_with_plateau(cfg.optim.base_lr),
+    )
+    ckpt = CheckpointManager(ckpt_dir)
+    state = ckpt.restore(template=state)
+    eval_step = make_eval_step(model, node_level=False)
+
+    def evaluate(graphs):
+        tot = cnt = 0.0
+        for b in batch_iterator(graphs, spec):
+            b = jax.tree.map(jnp.asarray, b)
+            s, c = eval_step(state.params, state.batch_stats, b)
+            tot += float(s)
+            cnt += float(c)
+        return tot / max(cnt, 1.0)
+
+    print(json.dumps({
+        "val_mae": evaluate(splits["val"]) * std,
+        "test_mae": evaluate(splits["test"]) * std,
+        "ckpt_step": int(state.step),
+    }))
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--cfg", default=None, help="YAML config path")
+    p.add_argument("--eval_only", default=None, metavar="CKPT_DIR",
+                   help="restore the checkpoint dir and only evaluate "
+                        "(the reference's inference-only mode, "
+                        "custom_train.py:219)")
     p.add_argument("opts", nargs="*", help="dotted key value overrides")
     args = p.parse_args()
 
     cfg = load_cfg(args.cfg, args.opts)
+    if args.eval_only:
+        run_eval_only(cfg, args.eval_only)
+        return
     out_dir = os.path.join(
         cfg.out_dir, time.strftime("%Y%m%d%H%M%S")
     )
