@@ -16,6 +16,9 @@ import numpy as np
 from escgnn_tpu.data.container import GraphData
 
 _FIELDS = ("x", "edge_attr", "y", "pos", "enc_idx", "enc_cnt")
+# bumped when the on-disk layout changes (v2: extras serialization);
+# part of the filename so stale caches are rebuilt, not misread.
+_FORMAT_VERSION = 2
 
 
 def save_graphs(path: str, graphs: Sequence[GraphData]) -> None:
@@ -35,6 +38,16 @@ def save_graphs(path: str, graphs: Sequence[GraphData]) -> None:
         out["enc_nnz_per_edge"] = np.concatenate(
             [np.diff(g.enc_offsets) for g in graphs]
         ).astype(np.int64)
+    # extras: generic per-key serialization (flattened concat + per-graph
+    # shapes) — covers node/edge-aligned arrays, dense matrices
+    # (attn_bias/orig_adj), k-set arrays, and int scalars.
+    if graphs[0].extras:
+        for k in graphs[0].extras:
+            vals = [np.asarray(g.extras[k]) for g in graphs]
+            out[f"extra.{k}"] = np.concatenate([v.reshape(-1) for v in vals])
+            out[f"extra.{k}.shape"] = np.asarray(
+                [v.shape for v in vals], np.int64
+            ).reshape(len(vals), -1)
     np.savez_compressed(path, **out)
 
 
@@ -53,6 +66,16 @@ def load_graphs(path: str) -> list[GraphData]:
     if "enc_nnz_per_edge" in z:
         nnz = z["enc_nnz_per_edge"]
     edge_index = z["edge_index"]
+    extra_keys = [
+        k[len("extra."):] for k in z
+        if k.startswith("extra.") and not k.endswith(".shape")
+    ]
+    ex_off = {}
+    for k in extra_keys:
+        shapes = z[f"extra.{k}.shape"]
+        sizes = np.prod(shapes, axis=1).astype(np.int64) if shapes.shape[1] \
+            else np.ones(G, np.int64)
+        ex_off[k] = (np.concatenate([[0], np.cumsum(sizes)]), shapes)
     graphs = []
     for i in range(G):
         kw = {}
@@ -62,11 +85,24 @@ def load_graphs(path: str) -> list[GraphData]:
         if "enc_nnz_per_edge" in z:
             row_nnz = nnz[e_off[i]:e_off[i + 1]]
             enc_offsets = np.concatenate([[0], np.cumsum(row_nnz)])
+        extras = None
+        if extra_keys:
+            extras = {}
+            for k in extra_keys:
+                off, shapes = ex_off[k]
+                flat = z[f"extra.{k}"][off[i]:off[i + 1]]
+                shape = tuple(shapes[i])
+                v = flat.reshape(shape)
+                # int scalars round-trip as python ints
+                extras[k] = (
+                    v.item() if shape == () and v.dtype.kind in "iu" else v
+                )
         graphs.append(
             GraphData(
                 num_nodes=int(nn_[i]),
                 edge_index=edge_index[:, e_off[i]:e_off[i + 1]],
                 enc_offsets=enc_offsets,
+                extras=extras,
                 **kw,
             )
         )
@@ -80,7 +116,7 @@ def cached_featurize(
     force: bool = False,
 ) -> list[GraphData]:
     """Load `<cache_dir>/<name>.npz` or build via `build_fn()` and save."""
-    path = os.path.join(cache_dir, name + ".npz")
+    path = os.path.join(cache_dir, f"{name}.v{_FORMAT_VERSION}.npz")
     if os.path.exists(path) and not force:
         return load_graphs(path)
     graphs = build_fn()

@@ -9,6 +9,7 @@ triangle.
 import numpy as np
 import pytest
 
+from escgnn_tpu.data.container import GraphData
 from escgnn_tpu.featurize.escgnn import EscConfig, esc_encode
 from escgnn_tpu.featurize.bfs import hop_distance_matrix
 from escgnn_tpu.featurize.layout import EncodingLayout
@@ -116,3 +117,48 @@ def test_triangle_rd_self_loop():
     assert rows[8, 3] == 3 and rows[8, 0] == 1
     # oracle agreement
     assert_encodings_equal(3, ei, cfg)
+
+
+def test_cache_roundtrips_extras(tmp_path, rng):
+    """save_graphs/load_graphs must preserve extras of every kind:
+    node-aligned arrays, dense matrices, int scalars, 2-row index arrays."""
+    from escgnn_tpu.featurize.cache import load_graphs, save_graphs
+
+    n, ei = random_graph(rng, n=6, p=0.5)
+    g = GraphData(
+        num_nodes=n,
+        edge_index=ei,
+        x=rng.normal(size=(n, 3)).astype(np.float32),
+        y=np.asarray([1.0], np.float32),
+        extras={
+            "z": rng.integers(0, 5, (n, 2)).astype(np.int64),
+            "attn_bias": rng.integers(0, 9, (n, n)).astype(np.int16),
+            "num_subgraphs": n,
+            "kset2_assign": rng.integers(0, n, (2, 7)).astype(np.int32),
+            "rd": rng.normal(size=(n, 1)).astype(np.float32),
+        },
+    )
+    g2 = GraphData(
+        num_nodes=n, edge_index=ei,
+        x=rng.normal(size=(n, 3)).astype(np.float32),
+        y=np.asarray([0.0], np.float32),
+        extras={
+            "z": rng.integers(0, 5, (n, 2)).astype(np.int64),
+            "attn_bias": rng.integers(0, 9, (n, n)).astype(np.int16),
+            "num_subgraphs": n - 1,
+            "kset2_assign": rng.integers(0, n, (2, 4)).astype(np.int32),
+            "rd": rng.normal(size=(n, 1)).astype(np.float32),
+        },
+    )
+    path = str(tmp_path / "g.npz")
+    save_graphs(path, [g, g2])
+    out = load_graphs(path)
+    assert len(out) == 2
+    for orig, got in zip([g, g2], out):
+        for k, v in orig.extras.items():
+            if isinstance(v, int):
+                assert got.extras[k] == v
+            else:
+                np.testing.assert_array_equal(got.extras[k], v)
+            if not isinstance(v, int):
+                assert got.extras[k].dtype == v.dtype
