@@ -67,6 +67,8 @@ def main():
     graphs = make_zinc_like_graphs(num=batch_size)
 
     import jax
+    from escgnn_tpu.utils import setup_jax
+    setup_jax()  # persistent XLA compile cache
     import jax.numpy as jnp
 
     from escgnn_tpu.data.batching import BatchSpec, pad_and_batch

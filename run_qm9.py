@@ -78,6 +78,8 @@ def main():
     print(f"data: {time.time() - t0:.1f}s mean={mean:.4f} std={std:.4f}")
 
     import jax
+    from escgnn_tpu.utils import setup_jax
+    setup_jax()  # persistent XLA compile cache
     import jax.numpy as jnp
 
     from escgnn_tpu.data.batching import BatchSpec, batch_iterator

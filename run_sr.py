@@ -18,6 +18,10 @@ from __future__ import annotations
 import argparse
 
 import jax
+
+from escgnn_tpu.utils import setup_jax
+
+setup_jax()  # persistent XLA compile cache
 import jax.numpy as jnp
 import numpy as np
 

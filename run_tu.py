@@ -19,6 +19,10 @@ import json
 import os
 import time
 
+from escgnn_tpu.utils import setup_jax
+
+setup_jax()  # persistent XLA compile cache
+
 from escgnn_tpu.data.tu import get_tu_dataset
 from escgnn_tpu.featurize.node_subgraphs import (
     NodeSubgraphConfig,

@@ -17,6 +17,10 @@ import os
 import time
 
 import jax
+
+from escgnn_tpu.utils import setup_jax
+
+setup_jax()  # persistent XLA compile cache
 import jax.numpy as jnp
 import numpy as np
 

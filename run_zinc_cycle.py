@@ -74,6 +74,8 @@ def main():
     print(f"data: {time.time() - t0:.1f}s mean={mean:.3f} std={std:.3f}")
 
     import jax
+    from escgnn_tpu.utils import setup_jax
+    setup_jax()  # persistent XLA compile cache
     import jax.numpy as jnp
 
     from escgnn_tpu.data.batching import BatchSpec, batch_iterator
