@@ -216,18 +216,74 @@ def stack_batches(batches):
     return jax.tree.map(lambda *xs: _np.stack(xs), *batches)
 
 
-def make_eval_step(model, node_level: bool = True):
-    """Jitted eval: returns (sum |err|, count) over real rows so the caller
-    accumulates an exact dataset MAE across fixed-shape batches."""
+def make_bn_refresh_step(model):
+    """One forward pass that ONLY refreshes BatchNorm running statistics
+    (params frozen, dropout off).
+
+    Rationale: with trained embedding tables feeding pre-activation BN
+    (the z_embedding path), activation variance shifts faster than the
+    momentum-0.1 EMA tracks, and eval-mode outputs can be off by orders
+    of magnitude while train-mode loss is healthy (measured: val MAE
+    2.6 with stale running stats vs 0.76 with batch stats at epoch 5 on
+    counting). Re-estimating the stats over a few training batches right
+    before evaluation makes eval reflect the current model. The torch
+    reference has the same exposure; this is the standard fix.
+    """
 
     @jax.jit
-    def eval_step(params, batch_stats, batch: GraphBatch):
-        out = model.apply(
+    def refresh(batch_stats, params, batch: GraphBatch):
+        _, mut = model.apply(
             {"params": params, "batch_stats": batch_stats},
             batch,
             deterministic=True,
-            use_running_average=True,
+            use_running_average=False,
+            mutable=["batch_stats"],
         )
+        return mut["batch_stats"]
+
+    return refresh
+
+
+def refresh_bn_stats(refresh_step, state: TrainState, batches) -> TrainState:
+    """Refresh BN running stats over `batches` (host iterable of
+    GraphBatch) using a jitted step from `make_bn_refresh_step` (create
+    it ONCE per model so the jit cache is reused); returns the state
+    with updated batch_stats."""
+    stats = state.batch_stats
+    for b in batches:
+        stats = refresh_step(stats, state.params, b)
+    return state.replace(batch_stats=stats)
+
+
+def make_eval_step(model, node_level: bool = True, bn_mode: str = "running"):
+    """Jitted eval: returns (sum |err|, count) over real rows so the caller
+    accumulates an exact dataset MAE across fixed-shape batches.
+
+    bn_mode: "running" = torch model.eval() semantics (EMA statistics);
+    "batch" = normalize with the eval batch's own statistics — robust
+    when activation scales drift faster than the EMA tracks (measured:
+    on counting, stale EMA stats can inflate eval MAE by orders of
+    magnitude while train-mode loss is healthy; see
+    make_bn_refresh_step).
+    """
+
+    @jax.jit
+    def eval_step(params, batch_stats, batch: GraphBatch):
+        if bn_mode == "batch":
+            out, _ = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                batch,
+                deterministic=True,
+                use_running_average=False,
+                mutable=["batch_stats"],
+            )
+        else:
+            out = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                batch,
+                deterministic=True,
+                use_running_average=True,
+            )
         mask = batch.node_mask if node_level else batch.graph_mask
         err = jnp.abs(out - batch.y) * mask[:, None]
         return jnp.sum(err), jnp.sum(mask) * out.shape[-1]

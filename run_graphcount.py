@@ -44,8 +44,10 @@ from escgnn_tpu.train.loop import (
     adam_with_plateau,
     get_learning_rate,
     l1_node_loss,
+    make_bn_refresh_step,
     make_eval_step,
     make_train_step,
+    refresh_bn_stats,
     set_learning_rate,
 )
 
@@ -104,6 +106,9 @@ def main():
                    help="conv-stack compute dtype (f32 master params)")
     p.add_argument("--analyze", action="store_true",
                    help="per-count-value MAE breakdown after training")
+    p.add_argument("--bn_eval", default="batch",
+                   choices=["batch", "running"],
+                   help="eval-time BN statistics (see make_eval_step)")
     args = p.parse_args()
 
     res_dir = args.res_dir or os.path.join(
@@ -148,7 +153,8 @@ def main():
     print(f"params: {n_params / 1e6:.2f}M")
 
     train_step = make_train_step(model, l1_node_loss)
-    eval_step = make_eval_step(model, node_level=True)
+    eval_step = make_eval_step(model, node_level=True, bn_mode=args.bn_eval)
+    bn_refresh = make_bn_refresh_step(model)
     sched = PlateauScheduler(
         factor=args.lr_decay_factor, patience=args.patience
     )
@@ -177,6 +183,12 @@ def main():
             state, loss = train_step(state, b, sub)
             losses.append(loss)
         train_loss = float(jnp.mean(jnp.stack(losses)))
+        # re-estimate BN running stats before eval (see
+        # make_bn_refresh_step): a couple of train batches suffice
+        state = refresh_bn_stats(
+            bn_refresh, state,
+            prefetched_batches(splits["train"][: 2 * args.batch_size], spec),
+        )
         val_mae = evaluate(state, splits["val"])
         lr = get_learning_rate(state)
         new_lr = sched.step(val_mae, lr)

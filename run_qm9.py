@@ -35,6 +35,9 @@ def main():
     p.add_argument("--num_workers", type=int, default=2)
     p.add_argument("--data_dir", default="data")
     p.add_argument("--res_dir", default=None)
+    p.add_argument("--bn_eval", default="batch",
+               choices=["batch", "running"],
+               help="eval-time BN statistics (see make_eval_step)")
     args = p.parse_args()
 
     res_dir = args.res_dir or os.path.join(
@@ -131,7 +134,7 @@ def main():
         adam_with_plateau(args.lr),
     )
     train_step = make_train_step(model, mse_loss)
-    eval_step = make_eval_step(model, node_level=False)
+    eval_step = make_eval_step(model, node_level=False, bn_mode=args.bn_eval)
     sched = PlateauScheduler(factor=args.lr_decay_factor,
                              patience=args.patience)
     conv = float(QM9_CONVERSION[t])

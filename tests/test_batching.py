@@ -72,3 +72,49 @@ def test_batch_iterator_covers_dataset(rng):
     assert batches[-1].graph_mask.sum() == 1
     total_nodes = sum(int(b.node_mask.sum()) for b in batches)
     assert total_nodes == sum(g.num_nodes for g in graphs)
+
+
+def test_exact_spec_tight(rng):
+    from escgnn_tpu.data.batching import BatchSpec, pad_and_batch
+
+    graphs = [  # plain graphs, no encoding
+        _plain_graph(rng) for _ in range(8)
+    ]
+    spec = BatchSpec.exact(graphs)
+    tot_n = sum(g.num_nodes for g in graphs)
+    tot_e = sum(g.num_edges for g in graphs)
+    assert tot_n < spec.num_nodes <= tot_n + 9
+    assert tot_e <= spec.num_edges <= tot_e + 128
+    b = pad_and_batch(graphs, spec)  # must fit
+    assert int(b.edge_mask.sum()) == tot_e
+
+
+def test_packed_iterator_covers_once(rng):
+    from escgnn_tpu.data.batching import (
+        BatchSpec, packed_batch_iterator,
+    )
+
+    graphs = [_plain_graph(rng) for _ in range(23)]
+    spec = BatchSpec.from_graphs(graphs, batch_size=4)
+    seen_edges = 0
+    n_batches = 0
+    for b in packed_batch_iterator(graphs, spec, shuffle=True,
+                                   rng=np.random.default_rng(0)):
+        seen_edges += int(b.edge_mask.sum())
+        n_batches += 1
+        assert int(b.graph_mask.sum()) <= spec.num_graphs
+    assert seen_edges == sum(g.num_edges for g in graphs)
+    # packing should not need more batches than the fixed-count iterator
+    assert n_batches <= -(-23 // 4) + 1
+
+
+def _plain_graph(rng):
+    from escgnn_tpu.data.container import GraphData
+    from tests.conftest import random_graph
+
+    n, ei = random_graph(rng, max_n=9)
+    return GraphData(
+        num_nodes=n, edge_index=ei,
+        x=rng.normal(size=(n, 3)).astype(np.float32),
+        y=np.asarray([0.0], np.float32),
+    )
