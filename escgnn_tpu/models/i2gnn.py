@@ -43,6 +43,10 @@ class I2GNNConfig:
     gate: bool = False
     out_dim: int = 1
     residual: bool = True
+    # re-inject the pooled subgraph context into every layer
+    # (reference `zinc_models.py:272-276`): x = double_nn([x ‖ pool(x)
+    # broadcast back through node_to_original_node])
+    double_pooling: bool = False
 
 
 class I2GNN(nn.Module):
@@ -60,7 +64,7 @@ class I2GNN(nn.Module):
             )
 
         sp2 = cfg.subgraph2_pooling
-        if sp2 in ("mean", "mean-center-side") and cfg.gate:
+        if sp2 in ("mean", "mean-center-side") and cfg.gate and gate_fn:
             x = gate_fn(z_emb) * x
         if sp2 == "mean":
             h2 = segment_mean(x, batch.node_segment2, S2, mask=nm)
@@ -146,6 +150,19 @@ class I2GNN(nn.Module):
                 h, batch.senders, batch.receivers, batch.edge_attr,
                 batch.edge_mask, use_running_average=use_running_average,
             )
+            if cfg.double_pooling:
+                # pooled per-subgraph context broadcast back to the copy
+                # nodes; subgraph s is rooted at original node s so
+                # node_original indexes the subgraph axis directly
+                ctx = self._pool(h, batch, z_emb, None)
+                S = ctx.shape[0]
+                idx = jnp.minimum(batch.node_original, S - 1)
+                h = jnp.concatenate(
+                    [h, jnp.take(ctx, idx, axis=0)], axis=-1
+                )
+                h = TorchDense(128, name=f"double_nn_{layer}_0")(h)
+                h = nn.relu(h)
+                h = TorchDense(cfg.hidden, name=f"double_nn_{layer}_1")(h)
             h = MaskedBatchNorm(name=f"norm{layer}")(
                 h, nm, use_running_average
             )

@@ -183,12 +183,15 @@ def main():
             state, loss = train_step(state, b, sub)
             losses.append(loss)
         train_loss = float(jnp.mean(jnp.stack(losses)))
-        # re-estimate BN running stats before eval (see
-        # make_bn_refresh_step): a couple of train batches suffice
-        state = refresh_bn_stats(
-            bn_refresh, state,
-            prefetched_batches(splits["train"][: 2 * args.batch_size], spec),
-        )
+        if args.bn_eval == "running":
+            # re-estimate BN running stats with frozen params before eval
+            # (see make_bn_refresh_step)
+            state = refresh_bn_stats(
+                bn_refresh, state,
+                prefetched_batches(
+                    splits["train"][: 2 * args.batch_size], spec
+                ),
+            )
         val_mae = evaluate(state, splits["val"])
         lr = get_learning_rate(state)
         new_lr = sched.step(val_mae, lr)

@@ -70,3 +70,17 @@ def test_i2gnn_forward(rng, s2pool):
     out = jax.jit(lambda v, x: model.apply(v, x))(variables, b)
     assert out.shape == (2, 1)
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_i2gnn_double_pooling(rng):
+    graphs = [big for _, big in make_pair_graphs(rng, 2)]
+    spec = BatchSpec.from_graphs(graphs, batch_size=2)
+    b = jax.tree.map(jnp.asarray, pad_and_batch(graphs, spec))
+    model = I2GNN(I2GNNConfig(
+        num_layers=2, hidden=16, use_rd=True, double_pooling=True,
+        subgraph2_pooling="mean-center-side",
+    ))
+    v = model.init(jax.random.key(0), b)
+    out = model.apply(v, b)
+    assert out.shape == (2, 1)
+    assert np.all(np.isfinite(np.asarray(out)))
