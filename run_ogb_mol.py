@@ -57,6 +57,10 @@ def main():
     p.add_argument("--log_steps", type=int, default=5)
     p.add_argument("--continue_from", type=int, default=None)
     p.add_argument("--ensemble_eval", action="store_true")
+    p.add_argument("--dump_worst", type=int, default=0,
+                   help="after training, dump the K worst-loss test "
+                        "graphs to worst.json (reference's loss-sorted "
+                        "visualization, run_ogb_mol.py:153-192)")
     p.add_argument("--metric", default="rocauc", choices=["rocauc", "ap"])
     p.add_argument("--data_dir", default="data")
     p.add_argument("--res_dir", default=None)
@@ -221,6 +225,35 @@ def main():
         ]
         ens = evaluate(splits["test"], param_sets=sets)
         print(f"ensemble test {args.metric} over {len(sets)} ckpts: {ens:.5f}")
+
+    if args.dump_worst:
+        # per-graph BCE on the test split, sorted worst-first
+        per_graph = []
+        gi = 0
+        for b in batch_iterator(splits["test"], spec):
+            bj = jax.tree.map(jnp.asarray, b)
+            scores = np.asarray(predict(state.params, state.batch_stats, bj))
+            y = np.asarray(b.y)
+            m = np.asarray(b.graph_mask)
+            for k in np.flatnonzero(m):
+                yk, sk = y[k], scores[k]
+                lab = ~np.isnan(yk)
+                if not lab.any():
+                    continue
+                p_ = 1.0 / (1.0 + np.exp(-sk[lab]))
+                eps = 1e-7
+                bce = float(np.mean(
+                    -(yk[lab] * np.log(p_ + eps)
+                      + (1 - yk[lab]) * np.log(1 - p_ + eps))
+                ))
+                per_graph.append({"index": gi, "loss": bce,
+                                  "y": yk[lab].tolist(),
+                                  "score": sk[lab].tolist()})
+                gi += 1
+        per_graph.sort(key=lambda r: -r["loss"])
+        with open(os.path.join(res_dir, "worst.json"), "w") as f:
+            json.dump(per_graph[: args.dump_worst], f, indent=2)
+        print(f"dumped {min(args.dump_worst, len(per_graph))} worst graphs")
 
     print(f"best val {best_val:.5f} test {best_test:.5f}")
 

@@ -20,13 +20,21 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _drain(out):
+    """Force a scalar host transfer: block_until_ready does NOT reliably
+    wait over the remote-execution tunnel (measured: a 1-TFLOP matmul
+    'took' 0.2 ms with it)."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return float(jnp.sum(leaf))
+
+
 def timeit(fn, *args, iters=30):
     out = fn(*args)
-    jax.block_until_ready(out)
+    _drain(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _drain(out)
     return (time.perf_counter() - t0) / iters
 
 
