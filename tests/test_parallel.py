@@ -61,3 +61,66 @@ def test_dp_step_runs_on_mesh():
         params_before,
     )
     assert max(jax.tree.leaves(moved)) > 0
+
+
+def test_dp_matches_single_device():
+    """With every replica holding the SAME batch (and dropout off), the
+    psum'd dp update must equal the single-device update exactly."""
+    from escgnn_tpu.train.loop import make_train_step
+
+    rng = np.random.default_rng(1)
+    n_dev = 4
+    mesh = make_mesh(n_dev)
+
+    graphs = make_graphs(rng, k=2)
+    spec = BatchSpec.from_graphs(graphs, batch_size=2)
+    batch = pad_and_batch(graphs, spec)
+    stacked = shard_stacked(stack_batches([batch] * n_dev), mesh)
+
+    model = NestedGINEff(
+        NestedGINEffConfig(hidden=8, num_layers=2, dropout=0.0)
+    )
+    variables = model.init(jax.random.key(0), to_jax(batch))
+
+    def fresh():
+        return TrainState.create(
+            jax.tree.map(jnp.array, variables["params"]),
+            jax.tree.map(jnp.array, variables.get("batch_stats", {})),
+            adam_with_plateau(1e-3),
+        )
+
+    # single device
+    s1, loss1 = make_train_step(model, l1_node_loss)(
+        fresh(), to_jax(batch), jax.random.key(3)
+    )
+
+    # dp over 4 replicas of the same batch
+    sd = fresh()
+    sd = sd.replace(
+        params=replicate(sd.params, mesh),
+        batch_stats=replicate(sd.batch_stats, mesh),
+        opt_state=jax.tree.map(
+            lambda x: replicate(x, mesh) if hasattr(x, "shape") else x,
+            sd.opt_state,
+        ),
+    )
+    key = jax.device_put(
+        jax.random.key(3),
+        jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec()),
+    )
+    step = make_dp_train_step(model, l1_node_loss, mesh)
+    s2, loss2 = step(sd, stacked, key)
+
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+        ),
+        s1.params, s2.params,
+    )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+        ),
+        s1.batch_stats, s2.batch_stats,
+    )
