@@ -80,8 +80,10 @@ def main():
         make_train_step,
     )
     # exact per-batch budget: padding drops from ~23% of edges to <2%,
-    # so every padded row the step processes is (almost) real work
-    spec = BatchSpec.exact(graphs)
+    # so every padded row the step processes is (almost) real work;
+    # flat COO encoding layout: gather only the actual histogram nnz
+    # (~1.7x less HBM traffic than the fixed-width rows)
+    spec = BatchSpec.exact(graphs, enc_layout="flat")
     batch = jax.tree.map(jnp.asarray, pad_and_batch(graphs, spec))
     real_edges = int(np.sum([g.num_edges for g in graphs]))
 

@@ -27,7 +27,7 @@ from flax import linen as nn
 from escgnn_tpu.data.container import GraphBatch
 from escgnn_tpu.models.layers import MLP, MaskedBatchNorm, TorchDense
 from escgnn_tpu.ops.segment import segment_mean, segment_sum
-from escgnn_tpu.ops.zemb import zemb_weighted_gather
+from escgnn_tpu.ops.zemb import zemb_from_batch
 
 
 @dataclasses.dataclass(frozen=True)
@@ -190,11 +190,11 @@ class GPSLayer(nn.Module):
         )
 
         # ESC structural encoding added to the edge features each layer
-        if cfg.use_esc and batch.enc_idx is not None:
+        if cfg.use_esc and (batch.enc_idx is not None or batch.enc_flat_idx is not None):
             z_table = self.param(
                 "z_initial", nn.initializers.normal(1.0), (cfg.z_dim, D)
             )
-            z = zemb_weighted_gather(z_table, batch.enc_idx, batch.enc_cnt)
+            z = zemb_from_batch(z_table, batch)
             z = MLP(
                 features=(D,), dropout=cfg.dropout, act=nn.elu, pre_act=True,
                 name="z_embedding",

@@ -27,7 +27,7 @@ from flax import linen as nn
 from escgnn_tpu.data.container import GraphBatch
 from escgnn_tpu.models.layers import MLP, MaskedBatchNorm, TorchDense
 from escgnn_tpu.ops.segment import segment_mean, segment_sum
-from escgnn_tpu.ops.zemb import zemb_weighted_gather
+from escgnn_tpu.ops.zemb import zemb_from_batch
 from escgnn_tpu.models.layers import GINEConv
 
 
@@ -108,7 +108,7 @@ class NestedGINEff(nn.Module):
         z_table = self.param(
             "z_initial", nn.initializers.normal(1.0), (cfg.z_dim, H)
         )
-        z_emb = zemb_weighted_gather(z_table, batch.enc_idx, batch.enc_cnt)
+        z_emb = zemb_from_batch(z_table, batch)
         z_emb = MLP(
             features=(H,), dropout=cfg.dropout, act=act, pre_act=True,
             axis_name=cfg.edge_shard_axis, name="z_embedding",

@@ -31,7 +31,7 @@ from escgnn_tpu.ops.segment import (
     segment_softmax,
     segment_sum,
 )
-from escgnn_tpu.ops.zemb import zemb_weighted_gather
+from escgnn_tpu.ops.zemb import zemb_from_batch
 
 # OGB categorical vocab sizes (ogb.utils.features get_atom/bond_feature_dims)
 ATOM_FEATURE_DIMS = (119, 4, 12, 12, 10, 6, 6, 2, 2)
@@ -124,7 +124,7 @@ class GNNNodeEfficient(nn.Module):
         z_table = self.param(
             "z_initial", nn.initializers.normal(1.0), (cfg.z_dim, d)
         )
-        z_emb = zemb_weighted_gather(z_table, batch.enc_idx, batch.enc_cnt)
+        z_emb = zemb_from_batch(z_table, batch)
         z_emb = MLP(
             features=(d,), dropout=cfg.dropout, act=nn.relu, pre_act=True,
             name="z_embedding",

@@ -27,7 +27,7 @@ from flax import linen as nn
 
 from escgnn_tpu.data.container import GraphBatch
 from escgnn_tpu.models.layers import TorchDense
-from escgnn_tpu.ops.zemb import zemb_weighted_gather
+from escgnn_tpu.ops.zemb import zemb_from_batch
 
 
 def _pair_mask(node_mask_dense):  # (G, N) -> (G, N, N, 1)
@@ -125,11 +125,11 @@ class PPGN(nn.Module):
         e_g = jnp.take(batch.node_graph, batch.receivers)
 
         # edge channels: [adjacency ‖ z_embedding(ESC enc)] scattered dense
-        if cfg.use_esc and batch.enc_idx is not None:
+        if cfg.use_esc and (batch.enc_idx is not None or batch.enc_flat_idx is not None):
             z_table = self.param(
                 "z_initial", nn.initializers.normal(1.0), (cfg.z_dim, cfg.emb_dim)
             )
-            z = zemb_weighted_gather(z_table, batch.enc_idx, batch.enc_cnt)
+            z = zemb_from_batch(z_table, batch)
             # z_embedding MLP: Linear->BN->ReLU->Linear->BN->ReLU
             # (reference `run_graphcount.py:230-236`); plain BN over edges.
             from escgnn_tpu.models.layers import MaskedBatchNorm

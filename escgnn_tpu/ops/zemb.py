@@ -136,3 +136,102 @@ def _zemb_bwd(res, dZ):
 
 
 _zemb_core.defvjp(_zemb_fwd, _zemb_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Flat COO layout: entry k contributes cnt[k] * table[idx[k]] to edge
+# edge_id[k]. Gathers only the ACTUAL nnz entries (~1.7x less HBM traffic
+# than the (E, P) width layout at ZINC shapes, where avg nnz 28 pads to
+# width 48). Entries arrive sorted by edge from the batcher.
+# ---------------------------------------------------------------------------
+
+
+def zemb_weighted_flat(table, flat_idx, flat_cnt, flat_edge, num_edges: int):
+    """Per-edge weighted sum of table rows from flat COO entries.
+    Returns (num_edges, H) float32. Padding entries have cnt == 0."""
+    return _zemb_flat_core(
+        table,
+        flat_idx.astype(jnp.int32),
+        flat_cnt.astype(jnp.float32),
+        flat_edge.astype(jnp.int32),
+        num_edges,
+    )
+
+
+def zemb_from_batch(table, batch):
+    """Dispatch on the batch's encoding layout (flat preferred)."""
+    if getattr(batch, "enc_flat_idx", None) is not None:
+        return zemb_weighted_flat(
+            table, batch.enc_flat_idx, batch.enc_flat_cnt,
+            batch.enc_flat_edge, batch.num_edges,
+        )
+    return zemb_weighted_gather(table, batch.enc_idx, batch.enc_cnt)
+
+
+def _flat_fwd_impl(table, idx, cnt, edge, num_edges):
+    rows = jnp.take(table, idx, axis=0) * cnt[:, None]
+    return jax.ops.segment_sum(
+        rows, edge, num_segments=num_edges, indices_are_sorted=True
+    )
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _zemb_flat_core(table, idx, cnt, edge, num_edges):
+    return _flat_fwd_impl(table, idx, cnt, edge, num_edges)
+
+
+def _zemb_flat_fwd(table, idx, cnt, edge, num_edges):
+    return _flat_fwd_impl(table, idx, cnt, edge, num_edges), (
+        table, idx, cnt, edge,
+    )
+
+
+def _zemb_flat_bwd(num_edges, res, dZ):
+    table, idx, cnt, edge = res
+    Z = table.shape[0]
+    K = idx.shape[0]
+
+    # dTable[z] = sum_{k: idx_k = z} cnt_k * dZ[edge_k] — blocked one-hot
+    # matmul exactly like the width layout's VJP (no scatter).
+    B = 128 if K % 128 == 0 else (64 if K % 64 == 0 else 1)
+    if B == 1:
+        dT = jax.vjp(
+            lambda t: _flat_fwd_impl(t, idx, cnt, edge, num_edges), table
+        )[1](dZ)[0]
+    else:
+        nb = K // B
+        zr = jnp.arange(Z, dtype=idx.dtype)
+        mm_dtype = _BWD_MATMUL_DTYPE
+
+        def body(acc, i):
+            idx_b = jax.lax.dynamic_slice_in_dim(idx, i * B, B)
+            cnt_b = jax.lax.dynamic_slice_in_dim(cnt, i * B, B)
+            edge_b = jax.lax.dynamic_slice_in_dim(edge, i * B, B)
+            dZ_b = jnp.take(dZ, edge_b, axis=0)  # (B, H)
+            onehot = (idx_b[:, None] == zr[None, :]).astype(mm_dtype)
+            onehot = onehot * cnt_b.astype(mm_dtype)[:, None]  # (B, Z)
+            acc = acc + jnp.einsum(
+                "bz,bh->zh", onehot, dZ_b.astype(mm_dtype),
+                preferred_element_type=jnp.float32,
+            )
+            return acc, None
+
+        dT, _ = jax.lax.scan(
+            body, jnp.zeros(table.shape, jnp.float32), jnp.arange(nb)
+        )
+        dT = dT.astype(table.dtype)
+
+    # dCnt[k] = table[idx_k] . dZ[edge_k]
+    dCnt = jnp.einsum(
+        "kh,kh->k",
+        jnp.take(table, idx, axis=0),
+        jnp.take(dZ, edge, axis=0),
+        preferred_element_type=jnp.float32,
+    ).astype(cnt.dtype)
+
+    dIdx = np.zeros(idx.shape, jax.dtypes.float0)
+    dEdge = np.zeros(edge.shape, jax.dtypes.float0)
+    return dT, dIdx, dCnt, dEdge
+
+
+_zemb_flat_core.defvjp(_zemb_flat_fwd, _zemb_flat_bwd)
