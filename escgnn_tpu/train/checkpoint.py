@@ -41,6 +41,5 @@ class CheckpointManager:
     def all_steps(self):
         return self._mgr.all_steps()
 
-    @property
     def latest_step(self):
         return self._mgr.latest_step()
