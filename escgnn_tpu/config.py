@@ -105,12 +105,21 @@ DEFAULTS = {
         "num_heads": 4,
         "dropout": 0.0,
         "attn_dropout": 0.0,
+        "local_model": "gine",  # gine | gatedgcn
+        "global_model": "transformer",  # transformer | linear
         "use_esc": True,
         "use_attn_bias": True,
+        "use_lap_pe": False,
+        "use_rwse": False,
+        "use_degree": False,
         "pool": "add",
         "out_dim": 1,
         "node_vocab": 100,
         "edge_vocab": 100,
+    },
+    "posenc": {  # featurize-time positional encodings (posenc.py)
+        "lap_pe_k": 8,
+        "rwse_k": 16,
     },
     "train": {
         "batch_size": 32,

@@ -33,6 +33,11 @@ from escgnn_tpu.data.batching import BatchSpec, batch_iterator
 from escgnn_tpu.data.molecules import synthetic_zinc
 from escgnn_tpu.featurize.cache import cached_featurize
 from escgnn_tpu.featurize.escgnn import EscConfig
+from escgnn_tpu.featurize.posenc import (
+    attach_degree,
+    attach_lap_pe,
+    attach_rwse,
+)
 from escgnn_tpu.featurize.spd import attach_attn_bias
 from escgnn_tpu.featurize.transform import featurize_many
 from escgnn_tpu.models.gps import GPSConfig, GPSModel
@@ -69,11 +74,20 @@ def build_dataset(cfg, seed: int):
                 if d.esc.enable else list(graphs)
             if d.attn_bias:
                 out = [attach_attn_bias(g) for g in out]
+            m = cfg.model
+            if m.use_lap_pe:
+                out = [attach_lap_pe(g, k=cfg.posenc.lap_pe_k) for g in out]
+            if m.use_rwse:
+                out = [attach_rwse(g, k=cfg.posenc.rwse_k) for g in out]
+            if m.use_degree:
+                out = [attach_degree(g) for g in out]
             return out
 
+        m = cfg.model
         key = (
             f"gps_{name}_n{d.num_graphs}_s{seed}_{ecfg.cache_key()}"
-            f"_bias{int(d.attn_bias)}"
+            f"_bias{int(d.attn_bias)}_pe{int(m.use_lap_pe)}"
+            f"{int(m.use_rwse)}{int(m.use_degree)}"
         )
         splits[name] = cached_featurize(
             os.path.join(d.dir, "gps_synth"), key, make
@@ -94,8 +108,11 @@ def run_one(cfg, seed: int, out_dir: str) -> dict:
     m = cfg.model
     model = GPSModel(GPSConfig(
         dim_h=m.dim_h, num_layers=m.num_layers, num_heads=m.num_heads,
-        dropout=m.dropout, attn_dropout=m.attn_dropout, use_esc=m.use_esc,
-        use_attn_bias=m.use_attn_bias, pool=m.pool, out_dim=m.out_dim,
+        dropout=m.dropout, attn_dropout=m.attn_dropout,
+        local_model=m.local_model, global_model=m.global_model,
+        use_esc=m.use_esc, use_attn_bias=m.use_attn_bias,
+        use_lap_pe=m.use_lap_pe, use_rwse=m.use_rwse,
+        use_degree=m.use_degree, pool=m.pool, out_dim=m.out_dim,
         node_vocab=m.node_vocab, edge_vocab=m.edge_vocab,
     ))
     rng = jax.random.key(seed)
@@ -182,8 +199,11 @@ def run_eval_only(cfg, ckpt_dir: str):
     m = cfg.model
     model = GPSModel(GPSConfig(
         dim_h=m.dim_h, num_layers=m.num_layers, num_heads=m.num_heads,
-        dropout=m.dropout, attn_dropout=m.attn_dropout, use_esc=m.use_esc,
-        use_attn_bias=m.use_attn_bias, pool=m.pool, out_dim=m.out_dim,
+        dropout=m.dropout, attn_dropout=m.attn_dropout,
+        local_model=m.local_model, global_model=m.global_model,
+        use_esc=m.use_esc, use_attn_bias=m.use_attn_bias,
+        use_lap_pe=m.use_lap_pe, use_rwse=m.use_rwse,
+        use_degree=m.use_degree, pool=m.pool, out_dim=m.out_dim,
         node_vocab=m.node_vocab, edge_vocab=m.edge_vocab,
     ))
     init_b = jax.tree.map(

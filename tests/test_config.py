@@ -63,3 +63,10 @@ def test_agg_runs():
     assert agg["best_val_mae_mean"] == 2.0
     assert agg["best_val_mae_std"] == 1.0
     assert agg["num_runs"] == 2
+
+
+def test_linear_config_parses():
+    cfg = load_cfg("configs/gps/zinc-GPS-linear.yaml")
+    assert cfg.model.local_model == "gatedgcn"
+    assert cfg.model.global_model == "linear"
+    assert cfg.model.use_rwse is True
