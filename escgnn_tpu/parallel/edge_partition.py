@@ -31,6 +31,10 @@ from escgnn_tpu.train.loop import TrainState
 
 EDGE_FIELDS = ("senders", "receivers", "edge_mask", "edge_attr",
                "enc_idx", "enc_cnt")
+# The flat COO encoding (enc_flat_*) is K-indexed, not E-indexed, so it is
+# replicated; GSPMD reshards the (E, H) z-emb output onto the edge axis.
+# Use the width layout for edge-partitioned runs when encoding size
+# dominates (it shards exactly).
 
 
 def batch_shardings(batch: GraphBatch, mesh: Mesh, axis: str = "model"):
