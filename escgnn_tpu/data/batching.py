@@ -1,0 +1,679 @@
+"""Static-shape batching.
+
+TPU-native replacement of the reference's `Batch.from_data_list` with its
+per-key cumsum rules (reference `batch.py:24-149`, `batch_I2.py:88-103`):
+graphs are packed into a fixed `BatchSpec` budget (padded arrays +
+validity masks) so a single XLA compilation serves every batch of the
+dataset. The same index vectors are emitted under new names:
+
+  reference key              batch field            increment rule
+  -------------              -----------            --------------
+  batch                      node_graph             += num_nodes
+  pos_batch                  enc_flat_edge/enc_idx  edge-major layout
+  pos_index / pos_enc        enc_* (never shifted)  (batch.py:70-73)
+  node_to_subgraph           node_segment           += num_subgraphs
+  subgraph_to_graph          segment_graph          += 1
+  node_to_subgraph2          node_segment2          += num_subgraphs2
+  subgraph2_to_subgraph      segment2_parent        += num_subgraphs
+  center_idx                 center_idx             += num_nodes
+  node_to_original_node      node_original          += num_original_nodes
+  assignment_index_k         kset{k}_assign_*       2-row increments
+                                                    (batch.py:107-111)
+
+Edges are re-ordered by destination (receiver) inside every graph so the
+per-node aggregation of message passing is a *sorted* segment-sum — the
+layout XLA/Pallas stream best on TPU. All edge payloads (attrs, ESC
+encoding rows) ride the same permutation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterable, Iterator, Optional, Sequence
+
+import numpy as np
+
+from escgnn_tpu.data.container import GraphBatch, GraphData
+
+# extras consumed into dedicated GraphBatch fields / budgets
+_STRUCTURAL_KEYS = frozenset({
+    "node_to_subgraph", "num_subgraphs",
+    "node_to_subgraph2", "num_subgraphs2", "subgraph2_to_subgraph",
+    "center_idx", "node_to_original_node", "num_original_nodes",
+    "attn_bias", "orig_adj",
+    "assign_2to3", "num_assign_2to3",
+})
+_KSET_KEYS = ("iso", "edge_index", "assign", "to_subgraph")
+
+# wire dtypes: the ESC bucket ids (< 1800) and counts (small ints) ship as
+# int16 — half the host->device bytes of int32; ops cast on device
+_ENC_DTYPE = np.int16
+
+
+def _round_up(v: int, m: int) -> int:
+    return int(-(-int(v) // m) * m)
+
+
+def _ex(g: GraphData, key: str, default=None):
+    return (g.extras or {}).get(key, default)
+
+
+@dataclasses.dataclass(frozen=True)
+class BatchSpec:
+    """Static padding budget: one spec => one compiled program.
+
+    `from_graphs` sizes every budget as batch_size x the per-graph
+    maximum, so any `batch_size`-subset of the dataset fits (required for
+    shuffled epochs). `exact` sizes budgets for one specific batch with
+    minimal rounding (used by benchmarks, where padding is wasted work).
+    """
+
+    num_graphs: int
+    num_nodes: int
+    num_edges: int
+    # ESC encoding: fixed-width rows (enc_width > 0) or flat COO entries
+    # (num_enc_nnz > 0); at most one layout is active
+    enc_width: int = 0
+    y_is_node_level: bool = False
+    num_enc_nnz: int = 0
+    # subgraph-copy budgets
+    num_segments: int = 0
+    num_segments2: int = 0
+    num_original: int = 0
+    # dense budgets (attn_bias / PPGN / dense pooling)
+    max_nodes_per_graph: int = 0
+    max_segments_per_graph: int = 0
+    # k-set graph budgets
+    num_kset2: int = 0
+    num_kset2_edges: int = 0
+    num_kset2_assign: int = 0
+    num_kset3: int = 0
+    num_kset3_edges: int = 0
+    num_kset3_assign: int = 0
+    num_assign_2to3: int = 0
+
+    # -- construction -----------------------------------------------------
+
+    @classmethod
+    def from_graphs(
+        cls,
+        graphs: Sequence[GraphData],
+        batch_size: int,
+        enc_layout: str = "width",
+    ) -> "BatchSpec":
+        assert graphs, "need at least one graph to size a BatchSpec"
+        assert enc_layout in ("width", "flat"), enc_layout
+        bs = int(batch_size)
+        mx = _per_graph_maxima(graphs)
+        kw = _budgets_from(mx, scale=bs, enc_layout=enc_layout)
+        # +1: padding edges park on a dedicated padding node
+        kw["num_nodes"] = _round_up(bs * mx["nodes"] + 1, 8)
+        kw["num_edges"] = _round_up(bs * mx["edges"], 128)
+        return cls(
+            num_graphs=bs,
+            y_is_node_level=_infer_node_level_y(graphs),
+            **kw,
+        )
+
+    @classmethod
+    def exact(
+        cls, graphs: Sequence[GraphData], enc_layout: str = "width"
+    ) -> "BatchSpec":
+        """Tight budget for exactly this list of graphs (bench path:
+        padding drops to rounding slack only)."""
+        assert graphs, "need at least one graph to size a BatchSpec"
+        mx = _per_graph_maxima(graphs)
+        tot = _per_graph_totals(graphs)
+        kw = _budgets_from(tot, scale=1, enc_layout=enc_layout)
+        kw["max_nodes_per_graph"] = mx["nodes"]
+        kw["max_segments_per_graph"] = mx["segments_per_graph"]
+        kw["num_nodes"] = _round_up(tot["nodes"] + 1, 8)
+        kw["num_edges"] = _round_up(max(tot["edges"], 1), 128)
+        return cls(
+            num_graphs=len(graphs),
+            y_is_node_level=_infer_node_level_y(graphs),
+            **kw,
+        )
+
+
+def _infer_node_level_y(graphs) -> bool:
+    g = next((g for g in graphs if g.y is not None), None)
+    if g is None:
+        return False
+    y = np.asarray(g.y)
+    return bool(y.ndim >= 1 and y.shape[0] == g.num_nodes and g.num_nodes > 1)
+
+
+def _graph_stats(g: GraphData) -> dict:
+    ex = g.extras or {}
+    s = {
+        "nodes": g.num_nodes,
+        "edges": g.num_edges,
+        "enc_w": 0,
+        "enc_nnz": 0,
+        "segments": int(ex.get("num_subgraphs", 0)),
+        "segments2": int(ex.get("num_subgraphs2", 0)),
+        "original": int(ex.get("num_original_nodes", 0)),
+        "segments_per_graph": int(ex.get("num_subgraphs", 0)),
+        "a23": int(ex.get("num_assign_2to3", 0)),
+    }
+    if g.enc_offsets is not None:
+        nnz = np.diff(np.asarray(g.enc_offsets))
+        s["enc_w"] = int(nnz.max()) if nnz.size else 0
+        s["enc_nnz"] = int(nnz.sum())
+    for k in (2, 3):
+        if f"num_kset{k}" in ex:
+            s[f"kset{k}"] = int(ex[f"num_kset{k}"])
+            s[f"kset{k}_edges"] = int(ex[f"kset{k}_edge_index"].shape[1])
+            s[f"kset{k}_assign"] = int(ex[f"kset{k}_assign"].shape[1])
+    return s
+
+
+def _reduce_stats(graphs, reduce_fn) -> dict:
+    stats = [_graph_stats(g) for g in graphs]
+    keys = set().union(*(s.keys() for s in stats))
+    return {k: reduce_fn([s.get(k, 0) for s in stats]) for k in keys}
+
+
+def _per_graph_maxima(graphs) -> dict:
+    return _reduce_stats(graphs, max)
+
+
+def _per_graph_totals(graphs) -> dict:
+    out = _reduce_stats(graphs, sum)
+    # width is a per-edge property: always the max
+    out["enc_w"] = _reduce_stats(graphs, max)["enc_w"]
+    out["segments_per_graph"] = 0  # overridden by caller
+    return out
+
+
+def _budgets_from(m: dict, scale: int, enc_layout: str) -> dict:
+    kw = dict(
+        enc_width=0,
+        num_enc_nnz=0,
+        num_segments=_round_up(scale * m["segments"], 8)
+        if m["segments"] else 0,
+        num_segments2=_round_up(scale * m["segments2"], 8)
+        if m["segments2"] else 0,
+        num_original=_round_up(scale * m["original"], 8)
+        if m["original"] else 0,
+        max_nodes_per_graph=m["nodes"],
+        max_segments_per_graph=m["segments_per_graph"],
+        num_assign_2to3=_round_up(scale * m["a23"], 16) if m["a23"] else 0,
+    )
+    if m["enc_w"]:
+        if enc_layout == "width":
+            kw["enc_width"] = _round_up(m["enc_w"], 8)
+        else:
+            kw["num_enc_nnz"] = _round_up(scale * m["enc_nnz"], 128)
+    for k in (2, 3):
+        if m.get(f"kset{k}"):
+            kw[f"num_kset{k}"] = _round_up(scale * m[f"kset{k}"], 8)
+            kw[f"num_kset{k}_edges"] = _round_up(
+                scale * m[f"kset{k}_edges"], 16
+            )
+            kw[f"num_kset{k}_assign"] = _round_up(
+                scale * m[f"kset{k}_assign"], 16
+            )
+        else:
+            kw[f"num_kset{k}"] = 0
+            kw[f"num_kset{k}_edges"] = 0
+            kw[f"num_kset{k}_assign"] = 0
+    return kw
+
+
+# ---------------------------------------------------------------------------
+# pad_and_batch
+# ---------------------------------------------------------------------------
+
+
+def _pad_rows(parts, lengths, budget, dtype=None, trailing=()):
+    """Concatenate per-graph row blocks and zero-pad to `budget` rows."""
+    ref = next(p for p in parts if p is not None)
+    ref = np.asarray(ref)
+    out = np.zeros((budget,) + tuple(trailing or ref.shape[1:]),
+                   dtype or ref.dtype)
+    off = 0
+    for p, n in zip(parts, lengths):
+        if p is not None and n:
+            out[off:off + n] = np.asarray(p).reshape((n,) + out.shape[1:])
+        off += n
+    return out
+
+
+def pad_and_batch(graphs: Sequence[GraphData], spec: BatchSpec) -> GraphBatch:
+    """Pack `graphs` into one `GraphBatch` under `spec`'s budgets.
+
+    Raises if the graphs exceed any budget — a spec sized by
+    `BatchSpec.from_graphs` over the full dataset never does.
+    """
+    G = len(graphs)
+    assert 0 < G <= spec.num_graphs, (G, spec.num_graphs)
+    n_sizes = [g.num_nodes for g in graphs]
+    e_sizes = [g.num_edges for g in graphs]
+    tot_n, tot_e = sum(n_sizes), sum(e_sizes)
+    assert tot_n < spec.num_nodes, (tot_n, spec.num_nodes)
+    assert tot_e <= spec.num_edges, (tot_e, spec.num_edges)
+    node_off = np.concatenate([[0], np.cumsum(n_sizes)])
+    edge_off = np.concatenate([[0], np.cumsum(e_sizes)])
+    N, E, NG = spec.num_nodes, spec.num_edges, spec.num_graphs
+
+    # --- per-graph receiver-sorted edge permutations ---
+    perms = []
+    for g in graphs:
+        ei = np.asarray(g.edge_index)
+        perms.append(np.lexsort((ei[0], ei[1])))  # by receiver, then sender
+
+    # --- core index arrays ---
+    senders = np.full(E, N - 1, np.int32)  # padding parks on last node slot
+    receivers = np.full(E, N - 1, np.int32)
+    # padding nodes: node_graph stays IN range (models gather per-graph
+    # state with jnp.take(vn, node_graph), which NaN-fills out-of-range
+    # ids) pointing at the last graph slot; node_local is OUT of the dense
+    # (G, max_nodes_per_graph) range so dense scatters drop padding rows
+    # instead of colliding with real slots.
+    node_graph = np.full(N, NG - 1, np.int32)
+    node_local = np.full(
+        N, max(spec.max_nodes_per_graph, max(n_sizes)), np.int32
+    )
+    for i, g in enumerate(graphs):
+        ei = np.asarray(g.edge_index)[:, perms[i]]
+        lo, hi = edge_off[i], edge_off[i + 1]
+        senders[lo:hi] = ei[0] + node_off[i]
+        receivers[lo:hi] = ei[1] + node_off[i]
+        node_graph[node_off[i]:node_off[i + 1]] = i
+        node_local[node_off[i]:node_off[i + 1]] = np.arange(
+            n_sizes[i], dtype=np.int32
+        )
+
+    node_mask = np.zeros(N, bool)
+    node_mask[:tot_n] = True
+    edge_mask = np.zeros(E, bool)
+    edge_mask[:tot_e] = True
+    graph_mask = np.zeros(NG, bool)
+    graph_mask[:G] = True
+
+    fields: dict = dict(
+        senders=senders,
+        receivers=receivers,
+        node_graph=node_graph,
+        node_local=node_local,
+        node_mask=node_mask,
+        edge_mask=edge_mask,
+        graph_mask=graph_mask,
+    )
+
+    # --- node payloads ---
+    if graphs[0].x is not None:
+        fields["x"] = _pad_rows([g.x for g in graphs], n_sizes, N)
+    if graphs[0].pos is not None:
+        fields["pos"] = _pad_rows([g.pos for g in graphs], n_sizes, N)
+
+    # --- edge payloads ride the permutation ---
+    if graphs[0].edge_attr is not None:
+        fields["edge_attr"] = _pad_rows(
+            [np.asarray(g.edge_attr)[perms[i]] for i, g in enumerate(graphs)],
+            e_sizes, E,
+        )
+
+    # --- targets ---
+    if graphs[0].y is not None:
+        if spec.y_is_node_level:
+            fields["y"] = _pad_rows([g.y for g in graphs], n_sizes, N)
+        else:
+            rows = [np.asarray(g.y).reshape(-1) for g in graphs]
+            y = np.zeros((NG, rows[0].shape[0]), rows[0].dtype)
+            y[:G] = np.stack(rows)
+            fields["y"] = y
+
+    # --- ESC encoding ---
+    if graphs[0].enc_offsets is not None and (
+        spec.enc_width > 0 or spec.num_enc_nnz > 0
+    ):
+        fields.update(_batch_encoding(graphs, perms, edge_off, spec))
+
+    # --- subgraph-copy levels ---
+    ex0 = graphs[0].extras or {}
+    extras_out: dict = {}
+    if "num_subgraphs" in ex0 and spec.num_segments > 0:
+        fields.update(
+            _batch_segments(graphs, n_sizes, node_off, spec)
+        )
+    if "node_to_subgraph2" in ex0 and spec.num_segments2 > 0:
+        fields.update(
+            _batch_segments2(graphs, n_sizes, node_off, spec)
+        )
+    if "node_to_original_node" in ex0 and spec.num_original > 0:
+        o_sizes = [int(_ex(g, "num_original_nodes", 0)) for g in graphs]
+        assert sum(o_sizes) <= spec.num_original
+        o_off = np.concatenate([[0], np.cumsum(o_sizes)])
+        node_original = np.full(N, spec.num_original, np.int32)
+        for i, g in enumerate(graphs):
+            node_original[node_off[i]:node_off[i + 1]] = (
+                np.asarray(g.extras["node_to_original_node"]) + o_off[i]
+            )
+        om = np.zeros(spec.num_original, bool)
+        om[:sum(o_sizes)] = True
+        fields["node_original"] = node_original
+        fields["original_mask"] = om
+
+    # --- k-set graphs + extras ---
+    extras_out.update(_batch_ksets(graphs, node_off, spec, fields))
+    extras_out.update(
+        _batch_named_extras(graphs, n_sizes, e_sizes, perms, node_off, spec)
+    )
+
+    return GraphBatch(extras=extras_out or None, **fields)
+
+
+def _batch_encoding(graphs, perms, edge_off, spec: BatchSpec) -> dict:
+    """Width layout: (E, P) rows. Flat layout: edge-sorted COO entries."""
+    E = spec.num_edges
+    flat = spec.enc_width == 0
+    if flat:
+        idx_parts, cnt_parts, edge_parts = [], [], []
+    else:
+        W = spec.enc_width
+        enc_idx = np.zeros((E, W), _ENC_DTYPE)
+        enc_cnt = np.zeros((E, W), _ENC_DTYPE)
+    for i, g in enumerate(graphs):
+        off = np.asarray(g.enc_offsets)
+        nnz = np.diff(off)
+        if nnz.size == 0:
+            continue
+        inv = np.empty_like(perms[i])
+        inv[perms[i]] = np.arange(len(perms[i]))
+        rows_orig = np.repeat(np.arange(len(nnz)), nnz)
+        new_rows = inv[rows_orig] + edge_off[i]
+        gidx = np.asarray(g.enc_idx)
+        gcnt = np.asarray(g.enc_cnt)
+        if flat:
+            order = np.argsort(new_rows, kind="stable")
+            idx_parts.append(gidx[order])
+            cnt_parts.append(gcnt[order])
+            edge_parts.append(new_rows[order])
+        else:
+            assert int(nnz.max()) <= spec.enc_width, (
+                f"enc row nnz {int(nnz.max())} exceeds width {spec.enc_width}"
+            )
+            cols = np.arange(len(gidx)) - np.repeat(off[:-1], nnz)
+            enc_idx[new_rows, cols] = gidx.astype(_ENC_DTYPE)
+            enc_cnt[new_rows, cols] = gcnt.astype(_ENC_DTYPE)
+    if not flat:
+        return {"enc_idx": enc_idx, "enc_cnt": enc_cnt}
+    K = spec.num_enc_nnz
+    tot = sum(p.shape[0] for p in idx_parts)
+    assert tot <= K, (tot, K)
+    fi = np.zeros(K, _ENC_DTYPE)
+    fc = np.zeros(K, _ENC_DTYPE)
+    fe = np.full(K, E - 1, np.int32)  # in-range, zero-count padding
+    if tot:
+        fi[:tot] = np.concatenate(idx_parts).astype(_ENC_DTYPE)
+        fc[:tot] = np.concatenate(cnt_parts).astype(_ENC_DTYPE)
+        fe[:tot] = np.concatenate(edge_parts).astype(np.int32)
+    return {"enc_flat_idx": fi, "enc_flat_cnt": fc, "enc_flat_edge": fe}
+
+
+def _batch_segments(graphs, n_sizes, node_off, spec: BatchSpec) -> dict:
+    """Subgraph-copy level. `segment_graph`/`segment_mask` exist whenever
+    graphs declare `num_subgraphs` (the I2 transform has subgraphs as the
+    middle pooling level without a direct node->subgraph map);
+    `node_segment` additionally needs `node_to_subgraph`."""
+    S = spec.num_segments
+    s_sizes = [int(_ex(g, "num_subgraphs", 0)) for g in graphs]
+    assert sum(s_sizes) <= S, (sum(s_sizes), S)
+    s_off = np.concatenate([[0], np.cumsum(s_sizes)])
+    segment_graph = np.full(S, spec.num_graphs - 1, np.int32)
+    segment_mask = np.zeros(S, bool)
+    for i in range(len(graphs)):
+        segment_graph[s_off[i]:s_off[i + 1]] = i
+    segment_mask[:s_off[-1]] = True
+    out = {"segment_graph": segment_graph, "segment_mask": segment_mask}
+    if "node_to_subgraph" in (graphs[0].extras or {}):
+        node_segment = np.full(spec.num_nodes, S, np.int32)
+        for i, g in enumerate(graphs):
+            node_segment[node_off[i]:node_off[i + 1]] = (
+                np.asarray(g.extras["node_to_subgraph"]) + s_off[i]
+            )
+        out["node_segment"] = node_segment
+    return out
+
+
+def _batch_segments2(graphs, n_sizes, node_off, spec: BatchSpec) -> dict:
+    S, S2 = spec.num_segments, spec.num_segments2
+    s_sizes = [int(_ex(g, "num_subgraphs", 0)) for g in graphs]
+    s2_sizes = [int(_ex(g, "num_subgraphs2", 0)) for g in graphs]
+    assert sum(s2_sizes) <= S2, (sum(s2_sizes), S2)
+    s_off = np.concatenate([[0], np.cumsum(s_sizes)])
+    s2_off = np.concatenate([[0], np.cumsum(s2_sizes)])
+    node_segment2 = np.full(spec.num_nodes, S2, np.int32)
+    segment2_parent = np.full(S2, S, np.int32)
+    segment2_mask = np.zeros(S2, bool)
+    center = np.full((S2, 2), spec.num_nodes - 1, np.int32)
+    for i, g in enumerate(graphs):
+        ex = g.extras
+        node_segment2[node_off[i]:node_off[i + 1]] = (
+            np.asarray(ex["node_to_subgraph2"]) + s2_off[i]
+        )
+        segment2_parent[s2_off[i]:s2_off[i + 1]] = (
+            np.asarray(ex["subgraph2_to_subgraph"]) + s_off[i]
+        )
+        if "center_idx" in ex:
+            center[s2_off[i]:s2_off[i + 1]] = (
+                np.asarray(ex["center_idx"]) + node_off[i]
+            )
+    segment2_mask[:s2_off[-1]] = True
+    return {
+        "node_segment2": node_segment2,
+        "segment2_parent": segment2_parent,
+        "segment2_mask": segment2_mask,
+        "center_idx": center,
+    }
+
+
+def _batch_ksets(graphs, node_off, spec: BatchSpec, fields) -> dict:
+    out: dict = {}
+    seg_sizes = [int(_ex(g, "num_subgraphs", 0)) for g in graphs]
+    seg_off = np.concatenate([[0], np.cumsum(seg_sizes)])
+    set_offs = {}
+    for k in (2, 3):
+        budget = getattr(spec, f"num_kset{k}")
+        if not budget or f"num_kset{k}" not in (graphs[0].extras or {}):
+            continue
+        sizes = [int(g.extras[f"num_kset{k}"]) for g in graphs]
+        assert sum(sizes) <= budget, (k, sum(sizes), budget)
+        off = np.concatenate([[0], np.cumsum(sizes)])
+        set_offs[k] = off
+        tot = int(off[-1])
+
+        iso = np.zeros(budget, np.int32)
+        kgraph = np.full(budget, spec.num_graphs, np.int32)
+        mask = np.zeros(budget, bool)
+        to_sub = np.full(
+            budget, spec.num_segments if spec.num_segments else budget,
+            np.int32,
+        )
+        for i, g in enumerate(graphs):
+            iso[off[i]:off[i + 1]] = np.asarray(g.extras[f"kset{k}_iso"])
+            kgraph[off[i]:off[i + 1]] = i
+            shift = seg_off[i] if spec.num_segments else 0
+            to_sub[off[i]:off[i + 1]] = (
+                np.asarray(g.extras[f"kset{k}_to_subgraph"]) + shift
+            )
+        mask[:tot] = True
+
+        # set-graph edges, receiver-sorted within each graph
+        e_budget = getattr(spec, f"num_kset{k}_edges")
+        e_sizes = [
+            int(g.extras[f"kset{k}_edge_index"].shape[1]) for g in graphs
+        ]
+        assert sum(e_sizes) <= e_budget, (k, sum(e_sizes), e_budget)
+        # padding: senders in range (gathered), receivers out of range
+        # (sorted scatter ids; dropped by segment ops)
+        ksend = np.full(e_budget, budget - 1, np.int32)
+        krecv = np.full(e_budget, budget, np.int32)
+        kemask = np.zeros(e_budget, bool)
+        eo = 0
+        for i, g in enumerate(graphs):
+            ei = np.asarray(g.extras[f"kset{k}_edge_index"])
+            perm = np.lexsort((ei[0], ei[1]))
+            ei = ei[:, perm]
+            ksend[eo:eo + e_sizes[i]] = ei[0] + off[i]
+            krecv[eo:eo + e_sizes[i]] = ei[1] + off[i]
+            eo += e_sizes[i]
+        kemask[:eo] = True
+
+        # member-node assignment
+        a_budget = getattr(spec, f"num_kset{k}_assign")
+        a_sizes = [int(g.extras[f"kset{k}_assign"].shape[1]) for g in graphs]
+        assert sum(a_sizes) <= a_budget, (k, sum(a_sizes), a_budget)
+        anode = np.full(a_budget, spec.num_nodes - 1, np.int32)
+        aset = np.full(a_budget, budget, np.int32)
+        amask = np.zeros(a_budget, bool)
+        ao = 0
+        for i, g in enumerate(graphs):
+            asg = np.asarray(g.extras[f"kset{k}_assign"])
+            anode[ao:ao + a_sizes[i]] = asg[0] + node_off[i]
+            aset[ao:ao + a_sizes[i]] = asg[1] + off[i]
+            ao += a_sizes[i]
+        amask[:ao] = True
+
+        out.update({
+            f"kset{k}_iso": iso,
+            f"kset{k}_graph": kgraph,
+            f"kset{k}_mask": mask,
+            f"kset{k}_to_subgraph": to_sub,
+            f"kset{k}_senders": ksend,
+            f"kset{k}_receivers": krecv,
+            f"kset{k}_edge_mask": kemask,
+            f"kset{k}_assign_node": anode,
+            f"kset{k}_assign_set": aset,
+            f"kset{k}_assign_mask": amask,
+        })
+
+    if spec.num_assign_2to3 and "assign_2to3" in (graphs[0].extras or {}):
+        B = spec.num_assign_2to3
+        row = np.zeros(B, np.int32)
+        col = np.zeros(B, np.int32)
+        m = np.zeros(B, bool)
+        o = 0
+        for i, g in enumerate(graphs):
+            a = np.asarray(g.extras["assign_2to3"])
+            n = a.shape[1]
+            row[o:o + n] = a[0] + set_offs[2][i]
+            col[o:o + n] = a[1] + set_offs[3][i]
+            o += n
+        m[:o] = True
+        out.update({
+            "assign_2to3_row": row,
+            "assign_2to3_col": col,
+            "assign_2to3_mask": m,
+        })
+    return out
+
+
+def _batch_named_extras(graphs, n_sizes, e_sizes, perms, node_off, spec):
+    """Generic extras: node-aligned padded like x, edge-aligned permuted
+    like edge_attr, dense per-graph matrices stacked into (G, M, M)."""
+    out: dict = {}
+    ex0 = graphs[0].extras or {}
+    for key, v0 in ex0.items():
+        if key in _STRUCTURAL_KEYS or key.startswith("kset") \
+                or key.startswith("num_"):
+            if key == "attn_bias":
+                M = spec.max_nodes_per_graph
+                ab = np.zeros(
+                    (spec.num_graphs, M, M), np.asarray(v0).dtype
+                )
+                for i, g in enumerate(graphs):
+                    a = np.asarray(g.extras[key])
+                    ab[i, :a.shape[0], :a.shape[1]] = a
+                out[key] = ab
+            elif key == "orig_adj":
+                K = spec.max_segments_per_graph
+                adj = np.zeros(
+                    (spec.num_graphs, K, K), np.asarray(v0).dtype
+                )
+                for i, g in enumerate(graphs):
+                    a = np.asarray(g.extras[key])
+                    adj[i, :a.shape[0], :a.shape[1]] = a
+                out[key] = adj
+            continue
+        v0 = np.asarray(v0)
+        if v0.ndim >= 1 and v0.shape[0] == graphs[0].num_nodes:
+            out[key] = _pad_rows(
+                [np.asarray(g.extras[key]) for g in graphs],
+                n_sizes, spec.num_nodes,
+            )
+        elif v0.ndim >= 1 and v0.shape[0] == graphs[0].num_edges:
+            out[key] = _pad_rows(
+                [
+                    np.asarray(g.extras[key])[perms[i]]
+                    for i, g in enumerate(graphs)
+                ],
+                e_sizes, spec.num_edges,
+            )
+        else:
+            raise ValueError(
+                f"extras[{key!r}] has no batching rule "
+                f"(shape {v0.shape}, graph has {graphs[0].num_nodes} nodes/"
+                f"{graphs[0].num_edges} edges)"
+            )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# iterators
+# ---------------------------------------------------------------------------
+
+
+def batch_iterator(
+    graphs: Sequence[GraphData],
+    spec: BatchSpec,
+    shuffle: bool = False,
+    rng: Optional[np.random.Generator] = None,
+) -> Iterator[GraphBatch]:
+    """Fixed-count batches: consecutive groups of `spec.num_graphs`."""
+    idx = np.arange(len(graphs))
+    if shuffle:
+        (rng or np.random.default_rng()).shuffle(idx)
+    bs = spec.num_graphs
+    for i in range(0, len(graphs), bs):
+        yield pad_and_batch([graphs[j] for j in idx[i:i + bs]], spec)
+
+
+def packed_batch_iterator(
+    graphs: Sequence[GraphData],
+    spec: BatchSpec,
+    shuffle: bool = False,
+    rng: Optional[np.random.Generator] = None,
+) -> Iterator[GraphBatch]:
+    """Greedy packing: fill each batch until a budget (graphs, nodes,
+    edges, encoding entries) would overflow. Covers every graph exactly
+    once; never needs more batches than the fixed-count iterator."""
+    idx = np.arange(len(graphs))
+    if shuffle:
+        (rng or np.random.default_rng()).shuffle(idx)
+    caps = {
+        "graphs": spec.num_graphs,
+        "nodes": spec.num_nodes - 1,  # reserve the parking node
+        "edges": spec.num_edges,
+        "enc": spec.num_enc_nnz or np.inf,
+    }
+    cur: list[GraphData] = []
+    used = dict(graphs=0, nodes=0, edges=0, enc=0)
+    for j in idx:
+        g = graphs[j]
+        nnz = (
+            int(np.diff(np.asarray(g.enc_offsets)).sum())
+            if (g.enc_offsets is not None and spec.num_enc_nnz) else 0
+        )
+        need = dict(graphs=1, nodes=g.num_nodes, edges=g.num_edges, enc=nnz)
+        if cur and any(used[k] + need[k] > caps[k] for k in caps):
+            yield pad_and_batch(cur, spec)
+            cur, used = [], dict(graphs=0, nodes=0, edges=0, enc=0)
+        cur.append(g)
+        for k in need:
+            used[k] += need[k]
+    if cur:
+        yield pad_and_batch(cur, spec)

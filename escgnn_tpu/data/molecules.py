@@ -1,0 +1,121 @@
+"""Synthetic molecule-shaped datasets (ZINC / OGB stand-ins).
+
+The reference's ZINC loader unpickles a DGL artifact (`dataset_zinc.py`)
+and the OGB drivers download from ogb servers (`run_ogb_mol.py:23`);
+neither artifact is distributable here (zero egress). These generators
+produce deterministic graphs with the same shapes and statistics —
+ZINC-12k: ~23 heavy atoms, 28 node types, 4 bond types, scalar
+regression target; ogbg-mol*: 9-column atom / 3-column bond categorical
+features, binary multi-task labels with NaN holes — so every driver,
+cache, and model path is exercisable end to end and learnable (targets
+are deterministic structural functions, not noise).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from escgnn_tpu.data.container import GraphData
+
+# OGB categorical vocab sizes (ogb.utils.features get_atom/bond_feature_dims)
+_ATOM_DIMS = (119, 4, 12, 12, 10, 6, 6, 2, 2)
+_BOND_DIMS = (5, 6, 2)
+
+
+def _molecule_skeleton(rng: np.random.Generator, n: int):
+    """Connected sparse graph: a random path plus a few short chords
+    (ring bonds) — ZINC-like degree statistics."""
+    order = rng.permutation(n)
+    src = [order[:-1]]
+    dst = [order[1:]]
+    extra = max(2, n // 6)
+    c1 = rng.integers(0, n, extra)
+    c2 = (c1 + rng.integers(2, 5, extra)) % n
+    keep = c1 != c2
+    src.append(c1[keep])
+    dst.append(c2[keep])
+    a = np.concatenate(src)
+    b = np.concatenate(dst)
+    # dedupe undirected pairs
+    key = np.minimum(a, b) * n + np.maximum(a, b)
+    _, uniq = np.unique(key, return_index=True)
+    a, b = a[uniq], b[uniq]
+    ei = np.stack(
+        [np.concatenate([a, b]), np.concatenate([b, a])]
+    ).astype(np.int32)
+    return ei
+
+
+def _num_triangles(n: int, ei: np.ndarray) -> int:
+    A = np.zeros((n, n), np.float64)
+    A[ei[0], ei[1]] = 1.0
+    return int(round(np.trace(A @ A @ A) / 6.0))
+
+
+def synthetic_zinc(num_graphs: int = 2000, seed: int = 0) -> list[GraphData]:
+    """ZINC-shaped graphs: x (n, 1) int node types in [0, 28), edge_attr
+    (E,) int bond types in [1, 4), y (1,) float32 — a deterministic
+    structural pseudo-"solubility" (so models can actually learn it)."""
+    rng = np.random.default_rng(seed)
+    out = []
+    for _ in range(num_graphs):
+        n = int(rng.integers(18, 30))
+        ei = _molecule_skeleton(rng, n)
+        x = rng.integers(0, 28, n).astype(np.int32)[:, None]
+        ea = rng.integers(1, 4, ei.shape[1]).astype(np.int32)
+        tri = _num_triangles(n, ei)
+        deg = np.bincount(ei[1], minlength=n)
+        y = (
+            0.05 * n
+            - 0.4 * tri
+            + 0.1 * float((x[:, 0] % 5).mean())
+            - 0.2 * float(deg.std())
+        )
+        out.append(
+            GraphData(
+                num_nodes=n,
+                edge_index=ei,
+                x=x,
+                edge_attr=ea,
+                y=np.asarray([y], np.float32),
+            )
+        )
+    return out
+
+
+def synthetic_ogb_mol(
+    num_graphs: int = 2000,
+    seed: int = 0,
+    num_tasks: int = 1,
+    nan_frac: float = 0.0,
+) -> list[GraphData]:
+    """ogbg-mol*-shaped graphs: x (n, 9) int atom features within the OGB
+    vocab bounds, edge_attr (E, 3) int bond features, y (num_tasks,)
+    float32 in {0, 1} with a `nan_frac` fraction of NaN holes (the
+    unlabeled entries run_ogb_mol masks out of the BCE,
+    reference `run_ogb_mol.py:65-72`)."""
+    rng = np.random.default_rng(seed)
+    out = []
+    for _ in range(num_graphs):
+        n = int(rng.integers(12, 28))
+        ei = _molecule_skeleton(rng, n)
+        x = np.stack(
+            [rng.integers(0, min(d, 16), n) for d in _ATOM_DIMS], axis=1
+        ).astype(np.int32)
+        ea = np.stack(
+            [rng.integers(0, d, ei.shape[1]) for d in _BOND_DIMS], axis=1
+        ).astype(np.int32)
+        tri = _num_triangles(n, ei)
+        base = (tri % 2) ^ (n % 2)
+        y = np.empty(num_tasks, np.float32)
+        for t in range(num_tasks):
+            y[t] = float((base + t + int(x[:, 0].sum())) % 2)
+        if nan_frac > 0:
+            holes = rng.random(num_tasks) < nan_frac
+            y[holes] = np.nan
+        out.append(
+            GraphData(
+                num_nodes=n, edge_index=ei, x=x, edge_attr=ea, y=y,
+            )
+        )
+    return out

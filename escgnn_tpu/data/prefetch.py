@@ -1,0 +1,68 @@
+"""Host-side batch prefetching.
+
+The reference overlaps collation with compute via torch DataLoader worker
+processes (`dataloader.py:24-48`). Here a single background thread builds
+(and optionally device-puts) the next padded batches while the device
+runs the current step — enough on TPU, where collation is cheap numpy and
+the transfer is one contiguous H2D copy per array.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Optional, Sequence
+
+import numpy as np
+
+from escgnn_tpu.data.batching import (
+    BatchSpec,
+    batch_iterator,
+    packed_batch_iterator,
+)
+from escgnn_tpu.data.container import GraphBatch, GraphData
+
+_SENTINEL = object()
+
+
+def prefetched_batches(
+    graphs: Sequence[GraphData],
+    spec: BatchSpec,
+    shuffle: bool = False,
+    rng: Optional[np.random.Generator] = None,
+    to_device: bool = True,
+    packed: bool = False,
+    depth: int = 2,
+) -> Iterator[GraphBatch]:
+    """Yield the same batches as `batch_iterator(graphs, spec, ...)`
+    (or `packed_batch_iterator` with `packed=True`), built `depth` ahead
+    on a background thread. `to_device=True` also issues the async H2D
+    transfer from that thread so the consumer only enqueues compute."""
+    it_fn = packed_batch_iterator if packed else batch_iterator
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    err: list[BaseException] = []
+
+    def produce():
+        try:
+            import jax
+            import jax.numpy as jnp
+
+            for b in it_fn(graphs, spec, shuffle=shuffle, rng=rng):
+                if to_device:
+                    b = jax.tree.map(jnp.asarray, b)
+                q.put(b)
+        except BaseException as e:  # propagate to the consumer
+            err.append(e)
+        finally:
+            q.put(_SENTINEL)
+
+    t = threading.Thread(target=produce, daemon=True)
+    t.start()
+    while True:
+        b = q.get()
+        if b is _SENTINEL:
+            break
+        yield b
+    t.join()
+    if err:
+        raise err[0]
