@@ -71,11 +71,13 @@ class BatchSpec:
     num_graphs: int
     num_nodes: int
     num_edges: int
-    # ESC encoding: fixed-width rows (enc_width > 0) or flat COO entries
-    # (num_enc_nnz > 0); at most one layout is active
+    # ESC encoding: fixed-width rows (enc_width > 0), optionally
+    # deduplicated into num_enc_rows unique rows + an edge->row map, or
+    # flat COO entries (num_enc_nnz > 0)
     enc_width: int = 0
     y_is_node_level: bool = False
     num_enc_nnz: int = 0
+    num_enc_rows: int = 0
     # subgraph-copy budgets
     num_segments: int = 0
     num_segments2: int = 0
@@ -102,7 +104,7 @@ class BatchSpec:
         enc_layout: str = "width",
     ) -> "BatchSpec":
         assert graphs, "need at least one graph to size a BatchSpec"
-        assert enc_layout in ("width", "flat"), enc_layout
+        assert enc_layout in ("width", "dedup", "flat"), enc_layout
         bs = int(batch_size)
         mx = _per_graph_maxima(graphs)
         kw = _budgets_from(mx, scale=bs, enc_layout=enc_layout)
@@ -124,6 +126,16 @@ class BatchSpec:
         assert graphs, "need at least one graph to size a BatchSpec"
         mx = _per_graph_maxima(graphs)
         tot = _per_graph_totals(graphs)
+        if enc_layout == "dedup" and graphs[0].enc_offsets is not None:
+            # exact knows the actual batch: the true CROSS-graph unique
+            # count (on molecule batches ~3.4x below the per-graph sum)
+            rows = set()
+            for g in graphs:
+                off = np.asarray(g.enc_offsets)
+                for e in range(len(off) - 1):
+                    i, c = g.enc_row(e)
+                    rows.add(tuple(i.tolist() + c.tolist()))
+            tot["enc_rows"] = len(rows)
         kw = _budgets_from(tot, scale=1, enc_layout=enc_layout)
         kw["max_nodes_per_graph"] = mx["nodes"]
         kw["max_segments_per_graph"] = mx["segments_per_graph"]
@@ -161,6 +173,13 @@ def _graph_stats(g: GraphData) -> dict:
         nnz = np.diff(np.asarray(g.enc_offsets))
         s["enc_w"] = int(nnz.max()) if nnz.size else 0
         s["enc_nnz"] = int(nnz.sum())
+        off = np.asarray(g.enc_offsets)
+        rows = {
+            tuple(np.asarray(g.enc_idx[off[e]:off[e + 1]]).tolist()
+                  + np.asarray(g.enc_cnt[off[e]:off[e + 1]]).tolist())
+            for e in range(len(nnz))
+        }
+        s["enc_rows"] = len(rows)
     for k in (2, 3):
         if f"num_kset{k}" in ex:
             s[f"kset{k}"] = int(ex[f"num_kset{k}"])
@@ -201,9 +220,14 @@ def _budgets_from(m: dict, scale: int, enc_layout: str) -> dict:
         max_segments_per_graph=m["segments_per_graph"],
         num_assign_2to3=_round_up(scale * m["a23"], 16) if m["a23"] else 0,
     )
+    kw["num_enc_rows"] = 0
     if m["enc_w"]:
         if enc_layout == "width":
             kw["enc_width"] = _round_up(m["enc_w"], 8)
+        elif enc_layout == "dedup":
+            kw["enc_width"] = _round_up(m["enc_w"], 8)
+            # +1: the all-zero row every padding edge maps to
+            kw["num_enc_rows"] = _round_up(scale * m["enc_rows"] + 1, 128)
         else:
             kw["num_enc_nnz"] = _round_up(scale * m["enc_nnz"], 128)
     for k in (2, 3):
@@ -400,6 +424,23 @@ def _batch_encoding(graphs, perms, edge_off, spec: BatchSpec) -> dict:
             enc_idx[new_rows, cols] = gidx.astype(_ENC_DTYPE)
             enc_cnt[new_rows, cols] = gcnt.astype(_ENC_DTYPE)
     if not flat:
+        if spec.num_enc_rows > 0:
+            # dedup layout: unique rows + edge -> row map. Padding edges'
+            # all-zero rows dedup into one zero row whose weighted sum is
+            # exactly 0, so no special-casing is needed downstream.
+            R = spec.num_enc_rows
+            both = np.concatenate([enc_idx, enc_cnt], axis=1)
+            uniq, inv = np.unique(both, axis=0, return_inverse=True)
+            assert len(uniq) <= R, (len(uniq), R)
+            u_idx = np.zeros((R, W), _ENC_DTYPE)
+            u_cnt = np.zeros((R, W), _ENC_DTYPE)
+            u_idx[: len(uniq)] = uniq[:, :W]
+            u_cnt[: len(uniq)] = uniq[:, W:]
+            return {
+                "enc_idx": u_idx,
+                "enc_cnt": u_cnt,
+                "enc_edge_row": inv.astype(np.int32),
+            }
         return {"enc_idx": enc_idx, "enc_cnt": enc_cnt}
     K = spec.num_enc_nnz
     tot = sum(p.shape[0] for p in idx_parts)

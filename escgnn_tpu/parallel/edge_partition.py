@@ -30,9 +30,11 @@ from escgnn_tpu.data.container import GraphBatch
 from escgnn_tpu.train.loop import TrainState
 
 EDGE_FIELDS = ("senders", "receivers", "edge_mask", "edge_attr",
-               "enc_idx", "enc_cnt")
+               "enc_idx", "enc_cnt", "enc_edge_row")
 # The flat COO encoding (enc_flat_*) is K-indexed, not E-indexed, so it is
 # replicated; GSPMD reshards the (E, H) z-emb output onto the edge axis.
+# In the dedup layout enc_idx/enc_cnt are R-indexed (unique rows) and
+# likewise replicated, while the E-indexed enc_edge_row map shards.
 # Use the width layout for edge-partitioned runs when encoding size
 # dominates (it shards exactly).
 
@@ -41,10 +43,15 @@ def batch_shardings(batch: GraphBatch, mesh: Mesh, axis: str = "model"):
     """Pytree of NamedShardings: edge-dim arrays split over `axis`,
     everything else replicated."""
 
+    dedup = getattr(batch, "enc_edge_row", None) is not None
+
     def spec_for(name, x):
         if x is None:
             return None
-        return NamedSharding(mesh, P(axis) if name in EDGE_FIELDS else P())
+        edge_aligned = name in EDGE_FIELDS and not (
+            dedup and name in ("enc_idx", "enc_cnt")
+        )
+        return NamedSharding(mesh, P(axis) if edge_aligned else P())
 
     fields = {
         f.name: spec_for(f.name, getattr(batch, f.name))

@@ -1,0 +1,124 @@
+"""Dedup z-emb layout: batching correctness + model-level equality with
+the plain width layout, and budget math for both spec constructors."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from escgnn_tpu.data.batching import BatchSpec, pad_and_batch
+from escgnn_tpu.data.container import GraphData
+from escgnn_tpu.featurize.escgnn import EscConfig
+from escgnn_tpu.featurize.transform import esc_transform
+from escgnn_tpu.models.nested_gin_eff import NestedGINEff, NestedGINEffConfig
+from tests.conftest import random_graph
+
+
+def _graphs(rng, k=3):
+    cfg = EscConfig(h=2, use_rd=True, self_loop=True)
+    out = []
+    for _ in range(k):
+        n, ei = random_graph(rng, max_n=8)
+        g = GraphData(
+            num_nodes=n, edge_index=ei,
+            x=np.ones((n, 10), np.float32),
+            y=rng.normal(size=(n, 1)).astype(np.float32),
+        )
+        out.append(esc_transform(g, cfg))
+    return out
+
+
+def _dense(rows_idx, rows_cnt, edge_row=None, E=None):
+    if edge_row is None:
+        idx, cnt = rows_idx, rows_cnt
+    else:
+        idx = rows_idx[edge_row]
+        cnt = rows_cnt[edge_row]
+    d = np.zeros((E, 1800), np.float32)
+    r = np.arange(E)[:, None]
+    np.add.at(
+        d,
+        (np.broadcast_to(r, idx.shape), idx.astype(np.int64)),
+        cnt.astype(np.float32),
+    )
+    return d
+
+
+def test_dedup_batching_matches_width(rng):
+    graphs = _graphs(rng)
+    sw = BatchSpec.from_graphs(graphs, batch_size=3)
+    sd = BatchSpec.from_graphs(graphs, batch_size=3, enc_layout="dedup")
+    assert sd.num_enc_rows > 0
+    bw = pad_and_batch(graphs, sw)
+    bd = pad_and_batch(graphs, sd)
+    E = bw.edge_mask.shape[0]
+    m = np.asarray(bw.edge_mask)
+    dw = _dense(np.asarray(bw.enc_idx), np.asarray(bw.enc_cnt), E=E)
+    dd = _dense(
+        np.asarray(bd.enc_idx), np.asarray(bd.enc_cnt),
+        np.asarray(bd.enc_edge_row), E=E,
+    )
+    np.testing.assert_allclose(dw[m], dd[m], atol=1e-6)
+    # padding edges map to an all-zero row
+    assert dd[~m].sum() == 0
+    # dedup actually deduplicates (self-loop edges of featureless graphs
+    # share histograms)
+    real_rows = np.asarray(bd.enc_cnt).sum(1) > 0
+    assert int(real_rows.sum()) < int(m.sum())
+
+
+def test_dedup_exact_budget_is_cross_graph(rng):
+    graphs = _graphs(rng, k=4)
+    se = BatchSpec.exact(graphs, enc_layout="dedup")
+    b = pad_and_batch(graphs, se)
+    assert b.enc_edge_row is not None
+    # exact budget: true cross-graph unique count (+zero row), rounded
+    rows = set()
+    for g in graphs:
+        for e in range(g.num_edges):
+            i, c = g.enc_row(e)
+            rows.add(tuple(i.tolist() + c.tolist()))
+    assert len(rows) < se.num_enc_rows <= len(rows) + 129
+
+
+def test_model_forward_same_under_dedup(rng):
+    graphs = _graphs(rng)
+    sw = BatchSpec.from_graphs(graphs, batch_size=3)
+    sd = BatchSpec.from_graphs(graphs, batch_size=3, enc_layout="dedup")
+    bw = jax.tree.map(jnp.asarray, pad_and_batch(graphs, sw))
+    bd = jax.tree.map(jnp.asarray, pad_and_batch(graphs, sd))
+    model = NestedGINEff(NestedGINEffConfig(
+        hidden=8, num_layers=2, graph_pred=False, use_x_embedding_jk=True,
+    ))
+    v = model.init(jax.random.key(0), bw)
+    ow = model.apply(v, bw)
+    od = model.apply(v, bd)
+    m = np.asarray(bw.node_mask)
+    np.testing.assert_allclose(
+        np.asarray(ow)[m], np.asarray(od)[m], rtol=2e-4, atol=2e-4
+    )
+
+
+def test_dedup_grads_match_width(rng):
+    graphs = _graphs(rng)
+    sw = BatchSpec.from_graphs(graphs, batch_size=3)
+    sd = BatchSpec.from_graphs(graphs, batch_size=3, enc_layout="dedup")
+    bw = jax.tree.map(jnp.asarray, pad_and_batch(graphs, sw))
+    bd = jax.tree.map(jnp.asarray, pad_and_batch(graphs, sd))
+    from escgnn_tpu.ops.zemb import zemb_from_batch
+
+    Z, H = 64, 16
+    table = jnp.asarray(rng.normal(size=(Z, H)).astype(np.float32))
+    m = jnp.asarray(np.asarray(bw.edge_mask))
+
+    def loss(b):
+        def f(t):
+            b2 = b.replace(enc_idx=b.enc_idx.astype(jnp.int32) % Z)
+            return jnp.sum(
+                jnp.sin(zemb_from_batch(t, b2)) * m[:, None]
+            )
+        return f
+
+    g_w = np.asarray(jax.grad(loss(bw))(table)).ravel()
+    g_d = np.asarray(jax.grad(loss(bd))(table)).ravel()
+    cos = g_w.dot(g_d) / (np.linalg.norm(g_w) * np.linalg.norm(g_d) + 1e-12)
+    assert cos > 0.999
