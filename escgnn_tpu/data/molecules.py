@@ -83,6 +83,68 @@ def synthetic_zinc(num_graphs: int = 2000, seed: int = 0) -> list[GraphData]:
     return out
 
 
+def load_zinc_pickle(path: str) -> dict:
+    """Parse the reference's ZINC artifact (`dataset_zinc.py:45-73`): a
+    pickle of (train, val, test) lists of dicts with 'x' (node one-hots),
+    'A' (bond_types, n, n) stacked adjacency, 'y' targets. Returns
+    {'train': [...], 'val': [...], 'test': [...]} of GraphData with the
+    reference's exact conversion: edges where A sums to 1 over bond
+    types, edge type = argmax over the bond axis, y = last target."""
+    import pickle
+
+    with open(path, "rb") as f:
+        raw_all = pickle.load(f)
+    names = ("train", "val", "test")
+    out = {}
+    for name, raw in zip(names, raw_all):
+        graphs = []
+        for d in raw:
+            x = np.asarray(d["x"])
+            A = np.asarray(d["A"])
+            y = np.asarray(d["y"], np.float32).reshape(-1)[-1:]
+            begin, end = np.where(A.sum(axis=0) == 1.0)
+            edge_attr = np.argmax(A[:, begin, end].T, axis=-1).astype(
+                np.int32
+            )
+            if x.ndim == 2 and x.shape[1] > 1:
+                x = np.argmax(x, axis=1)
+            x = x.reshape(-1, 1).astype(np.int32)
+            graphs.append(
+                GraphData(
+                    num_nodes=int(x.shape[0]),
+                    edge_index=np.stack([begin, end]).astype(np.int32),
+                    x=x,
+                    edge_attr=edge_attr,
+                    y=y,
+                )
+            )
+        out[name] = graphs
+    return out
+
+
+def zinc_splits(
+    data_dir: str, num_graphs: int = 2000, seed: int = 0
+) -> tuple[dict, bool]:
+    """Real ZINC splits when the reference artifact (`<data_dir>/ZINC.pkl`
+    or `<data_dir>/zinc/raw/ZINC.pkl`) exists; otherwise a deterministic
+    80/10/10 split of `synthetic_zinc`. Returns (splits, is_real)."""
+    import os
+
+    for cand in (
+        os.path.join(data_dir, "ZINC.pkl"),
+        os.path.join(data_dir, "zinc", "raw", "ZINC.pkl"),
+    ):
+        if os.path.exists(cand):
+            return load_zinc_pickle(cand), True
+    raw = synthetic_zinc(num_graphs=num_graphs, seed=seed)
+    n_tr, n_val = int(0.8 * len(raw)), int(0.1 * len(raw))
+    return {
+        "train": raw[:n_tr],
+        "val": raw[n_tr:n_tr + n_val],
+        "test": raw[n_tr + n_val:],
+    }, False
+
+
 def synthetic_ogb_mol(
     num_graphs: int = 2000,
     seed: int = 0,

@@ -26,7 +26,7 @@ import numpy as np
 
 from escgnn_tpu.data.batching import BatchSpec, batch_iterator
 from escgnn_tpu.data.prefetch import prefetched_batches
-from escgnn_tpu.data.molecules import synthetic_zinc
+from escgnn_tpu.data.molecules import zinc_splits
 from escgnn_tpu.featurize.cache import cached_featurize
 from escgnn_tpu.featurize.escgnn import EscConfig
 from escgnn_tpu.featurize.transform import featurize_many
@@ -72,19 +72,18 @@ def main():
 
     ecfg = EscConfig(h=args.h, use_rd=True, self_loop=True)
     t0 = time.time()
-    raw = synthetic_zinc(num_graphs=args.num_graphs, seed=args.seed)
-    n_tr = int(0.8 * len(raw))
-    n_val = int(0.1 * len(raw))
-    raw_splits = {
-        "train": raw[:n_tr],
-        "val": raw[n_tr:n_tr + n_val],
-        "test": raw[n_tr + n_val:],
-    }
+    raw_splits, is_real = zinc_splits(
+        args.data_dir, num_graphs=args.num_graphs, seed=args.seed
+    )
+    print("dataset:", "ZINC (real artifact)" if is_real else "ZINC (synthetic)")
     splits = {}
     for name, graphs in raw_splits.items():
         splits[name] = cached_featurize(
-            os.path.join(args.data_dir, "zinc_synth"),
-            f"{name}_n{args.num_graphs}_s{args.seed}_{ecfg.cache_key()}",
+            os.path.join(
+                args.data_dir, "zinc_real" if is_real else "zinc_synth"
+            ),
+            (f"{name}_{ecfg.cache_key()}" if is_real else
+             f"{name}_n{args.num_graphs}_s{args.seed}_{ecfg.cache_key()}"),
             lambda graphs=graphs: featurize_many(
                 graphs, ecfg, num_workers=args.num_workers
             ),

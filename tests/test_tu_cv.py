@@ -94,3 +94,44 @@ def test_cv_harness_learns():
     )
     assert 0.0 <= res.test_acc_mean <= 1.0
     assert res.test_acc_mean > 0.55, res
+
+
+def test_zinc_pickle_roundtrip(tmp_path):
+    """Fabricate a tiny artifact in the reference's ZINC.pkl format
+    (reference dataset_zinc.py:45-73) and check the exact conversion."""
+    import pickle
+
+    import numpy as np
+
+    from escgnn_tpu.data.molecules import load_zinc_pickle, zinc_splits
+
+    def mol(n, pairs, types, y):
+        A = np.zeros((4, n, n), np.float64)
+        for (a, b), t in zip(pairs, types):
+            A[t, a, b] = 1.0
+            A[t, b, a] = 1.0
+        x = np.eye(28)[np.arange(n) % 28]
+        return {"x": x, "A": A, "y": np.asarray([0.0, float(y)])}
+
+    splits_raw = (
+        [mol(3, [(0, 1), (1, 2)], [1, 2], 0.5)],
+        [mol(2, [(0, 1)], [3], -1.0)],
+        [mol(4, [(0, 1), (2, 3)], [0, 1], 2.0)],
+    )
+    p = tmp_path / "ZINC.pkl"
+    with open(p, "wb") as f:
+        pickle.dump(splits_raw, f)
+    out = load_zinc_pickle(str(p))
+    g = out["train"][0]
+    assert g.num_nodes == 3 and g.num_edges == 4  # undirected
+    # edge types follow the bond-axis argmax
+    for e in range(g.num_edges):
+        a, b = int(g.edge_index[0, e]), int(g.edge_index[1, e])
+        want = 1 if {a, b} == {0, 1} else 2
+        assert int(g.edge_attr[e]) == want
+    assert float(g.y[0]) == 0.5  # y = last target
+    np.testing.assert_array_equal(g.x[:, 0], [0, 1, 2])
+
+    # zinc_splits picks up the artifact from data_dir
+    sp, is_real = zinc_splits(str(tmp_path))
+    assert is_real and len(sp["val"]) == 1
