@@ -93,6 +93,11 @@ class BatchSpec:
     num_kset3_edges: int = 0
     num_kset3_assign: int = 0
     num_assign_2to3: int = 0
+    # uniform layout: every graph gets an identical (nodes, edges) block —
+    # node id g*uniform_nodes + i, edge id g*uniform_edges + k (enables
+    # the per-graph dense-einsum message-passing path)
+    uniform_nodes: int = 0
+    uniform_edges: int = 0
 
     # -- construction -----------------------------------------------------
 
@@ -111,6 +116,39 @@ class BatchSpec:
         # +1: padding edges park on a dedicated padding node
         kw["num_nodes"] = _round_up(bs * mx["nodes"] + 1, 8)
         kw["num_edges"] = _round_up(bs * mx["edges"], 128)
+        return cls(
+            num_graphs=bs,
+            y_is_node_level=_infer_node_level_y(graphs),
+            **kw,
+        )
+
+    @classmethod
+    def uniform(
+        cls,
+        graphs: Sequence[GraphData],
+        batch_size: int,
+        enc_layout: str = "width",
+    ) -> "BatchSpec":
+        """Per-graph uniform blocks (the dense-einsum message-passing
+        layout): every graph is padded to the same (nodes, edges) block.
+        On low-variance datasets (molecules) this costs little extra
+        padding and turns gather/scatter into batched MXU matmuls.
+
+        `uniform_nodes` reserves one always-padding trailing slot per
+        block (max_nodes+1 rounded up) so padding edges can park on it
+        without colliding with a real node.
+        """
+        assert graphs, "need at least one graph to size a BatchSpec"
+        assert enc_layout in ("width", "dedup", "flat"), enc_layout
+        bs = int(batch_size)
+        mx = _per_graph_maxima(graphs)
+        kw = _budgets_from(mx, scale=bs, enc_layout=enc_layout)
+        n_u = _round_up(mx["nodes"] + 1, 8)
+        e_u = _round_up(mx["edges"], 8)
+        kw["num_nodes"] = bs * n_u
+        kw["num_edges"] = bs * e_u
+        kw["uniform_nodes"] = n_u
+        kw["uniform_edges"] = e_u
         return cls(
             num_graphs=bs,
             y_is_node_level=_infer_node_level_y(graphs),
@@ -251,17 +289,21 @@ def _budgets_from(m: dict, scale: int, enc_layout: str) -> dict:
 # ---------------------------------------------------------------------------
 
 
-def _pad_rows(parts, lengths, budget, dtype=None, trailing=()):
-    """Concatenate per-graph row blocks and zero-pad to `budget` rows."""
+def _pad_rows(parts, lengths, budget, dtype=None, trailing=(), offsets=None):
+    """Per-graph row blocks placed at `offsets` (consecutive when None),
+    zero-padded to `budget` rows."""
     ref = next(p for p in parts if p is not None)
     ref = np.asarray(ref)
     out = np.zeros((budget,) + tuple(trailing or ref.shape[1:]),
                    dtype or ref.dtype)
     off = 0
-    for p, n in zip(parts, lengths):
+    for i, (p, n) in enumerate(zip(parts, lengths)):
+        if offsets is not None:
+            off = int(offsets[i])
         if p is not None and n:
             out[off:off + n] = np.asarray(p).reshape((n,) + out.shape[1:])
-        off += n
+        if offsets is None:
+            off += n
     return out
 
 
@@ -276,10 +318,18 @@ def pad_and_batch(graphs: Sequence[GraphData], spec: BatchSpec) -> GraphBatch:
     n_sizes = [g.num_nodes for g in graphs]
     e_sizes = [g.num_edges for g in graphs]
     tot_n, tot_e = sum(n_sizes), sum(e_sizes)
-    assert tot_n < spec.num_nodes, (tot_n, spec.num_nodes)
-    assert tot_e <= spec.num_edges, (tot_e, spec.num_edges)
-    node_off = np.concatenate([[0], np.cumsum(n_sizes)])
-    edge_off = np.concatenate([[0], np.cumsum(e_sizes)])
+    uniform = spec.uniform_nodes > 0
+    if uniform:
+        n_u, e_u = spec.uniform_nodes, spec.uniform_edges
+        assert max(n_sizes) < n_u, (max(n_sizes), n_u)
+        assert max(e_sizes) <= e_u, (max(e_sizes), e_u)
+        node_off = np.arange(G + 1) * n_u
+        edge_off = np.arange(G + 1) * e_u
+    else:
+        assert tot_n < spec.num_nodes, (tot_n, spec.num_nodes)
+        assert tot_e <= spec.num_edges, (tot_e, spec.num_edges)
+        node_off = np.concatenate([[0], np.cumsum(n_sizes)])
+        edge_off = np.concatenate([[0], np.cumsum(e_sizes)])
     N, E, NG = spec.num_nodes, spec.num_edges, spec.num_graphs
 
     # --- per-graph receiver-sorted edge permutations ---
@@ -289,31 +339,40 @@ def pad_and_batch(graphs: Sequence[GraphData], spec: BatchSpec) -> GraphBatch:
         perms.append(np.lexsort((ei[0], ei[1])))  # by receiver, then sender
 
     # --- core index arrays ---
-    senders = np.full(E, N - 1, np.int32)  # padding parks on last node slot
-    receivers = np.full(E, N - 1, np.int32)
+    if uniform:
+        # padding edges park on their own block's trailing slot — always
+        # a padding node (uniform_nodes reserves it), keeping receivers
+        # non-decreasing and block-local indices in [0, n_u)
+        park = (np.repeat(np.arange(NG, dtype=np.int32), e_u) * n_u
+                + n_u - 1)
+        senders = park.copy()
+        receivers = park.copy()
+    else:
+        senders = np.full(E, N - 1, np.int32)  # padding parks on last slot
+        receivers = np.full(E, N - 1, np.int32)
     # padding nodes: node_graph stays IN range (models gather per-graph
     # state with jnp.take(vn, node_graph), which NaN-fills out-of-range
-    # ids) pointing at the last graph slot; node_local is OUT of the dense
-    # (G, max_nodes_per_graph) range so dense scatters drop padding rows
-    # instead of colliding with real slots.
+    # ids) pointing at the owning/last graph slot; node_local is OUT of
+    # the dense (G, max_nodes_per_graph) range so dense scatters drop
+    # padding rows instead of colliding with real slots.
     node_graph = np.full(N, NG - 1, np.int32)
+    if uniform:
+        node_graph[:] = np.repeat(np.arange(NG, dtype=np.int32), n_u)
     node_local = np.full(
         N, max(spec.max_nodes_per_graph, max(n_sizes)), np.int32
     )
+    node_mask = np.zeros(N, bool)
+    edge_mask = np.zeros(E, bool)
     for i, g in enumerate(graphs):
         ei = np.asarray(g.edge_index)[:, perms[i]]
-        lo, hi = edge_off[i], edge_off[i + 1]
-        senders[lo:hi] = ei[0] + node_off[i]
-        receivers[lo:hi] = ei[1] + node_off[i]
-        node_graph[node_off[i]:node_off[i + 1]] = i
-        node_local[node_off[i]:node_off[i + 1]] = np.arange(
-            n_sizes[i], dtype=np.int32
-        )
+        ns, es = node_off[i], edge_off[i]
+        senders[es:es + e_sizes[i]] = ei[0] + ns
+        receivers[es:es + e_sizes[i]] = ei[1] + ns
+        node_graph[ns:node_off[i + 1]] = i
+        node_local[ns:ns + n_sizes[i]] = np.arange(n_sizes[i], dtype=np.int32)
+        node_mask[ns:ns + n_sizes[i]] = True
+        edge_mask[es:es + e_sizes[i]] = True
 
-    node_mask = np.zeros(N, bool)
-    node_mask[:tot_n] = True
-    edge_mask = np.zeros(E, bool)
-    edge_mask[:tot_e] = True
     graph_mask = np.zeros(NG, bool)
     graph_mask[:G] = True
 
@@ -329,21 +388,27 @@ def pad_and_batch(graphs: Sequence[GraphData], spec: BatchSpec) -> GraphBatch:
 
     # --- node payloads ---
     if graphs[0].x is not None:
-        fields["x"] = _pad_rows([g.x for g in graphs], n_sizes, N)
+        fields["x"] = _pad_rows(
+            [g.x for g in graphs], n_sizes, N, offsets=node_off
+        )
     if graphs[0].pos is not None:
-        fields["pos"] = _pad_rows([g.pos for g in graphs], n_sizes, N)
+        fields["pos"] = _pad_rows(
+            [g.pos for g in graphs], n_sizes, N, offsets=node_off
+        )
 
     # --- edge payloads ride the permutation ---
     if graphs[0].edge_attr is not None:
         fields["edge_attr"] = _pad_rows(
             [np.asarray(g.edge_attr)[perms[i]] for i, g in enumerate(graphs)],
-            e_sizes, E,
+            e_sizes, E, offsets=edge_off,
         )
 
     # --- targets ---
     if graphs[0].y is not None:
         if spec.y_is_node_level:
-            fields["y"] = _pad_rows([g.y for g in graphs], n_sizes, N)
+            fields["y"] = _pad_rows(
+                [g.y for g in graphs], n_sizes, N, offsets=node_off
+            )
         else:
             rows = [np.asarray(g.y).reshape(-1) for g in graphs]
             y = np.zeros((NG, rows[0].shape[0]), rows[0].dtype)
@@ -373,7 +438,8 @@ def pad_and_batch(graphs: Sequence[GraphData], spec: BatchSpec) -> GraphBatch:
         o_off = np.concatenate([[0], np.cumsum(o_sizes)])
         node_original = np.full(N, spec.num_original, np.int32)
         for i, g in enumerate(graphs):
-            node_original[node_off[i]:node_off[i + 1]] = (
+            ns = node_off[i]
+            node_original[ns:ns + n_sizes[i]] = (
                 np.asarray(g.extras["node_to_original_node"]) + o_off[i]
             )
         om = np.zeros(spec.num_original, bool)
@@ -384,10 +450,17 @@ def pad_and_batch(graphs: Sequence[GraphData], spec: BatchSpec) -> GraphBatch:
     # --- k-set graphs + extras ---
     extras_out.update(_batch_ksets(graphs, node_off, spec, fields))
     extras_out.update(
-        _batch_named_extras(graphs, n_sizes, e_sizes, perms, node_off, spec)
+        _batch_named_extras(
+            graphs, n_sizes, e_sizes, perms, node_off, edge_off, spec
+        )
     )
 
-    return GraphBatch(extras=extras_out or None, **fields)
+    return GraphBatch(
+        extras=extras_out or None,
+        nodes_per_graph=spec.uniform_nodes or None,
+        edges_per_graph=spec.uniform_edges or None,
+        **fields,
+    )
 
 
 def _batch_encoding(graphs, perms, edge_off, spec: BatchSpec) -> dict:
@@ -473,7 +546,8 @@ def _batch_segments(graphs, n_sizes, node_off, spec: BatchSpec) -> dict:
     if "node_to_subgraph" in (graphs[0].extras or {}):
         node_segment = np.full(spec.num_nodes, S, np.int32)
         for i, g in enumerate(graphs):
-            node_segment[node_off[i]:node_off[i + 1]] = (
+            ns = node_off[i]
+            node_segment[ns:ns + n_sizes[i]] = (
                 np.asarray(g.extras["node_to_subgraph"]) + s_off[i]
             )
         out["node_segment"] = node_segment
@@ -493,7 +567,8 @@ def _batch_segments2(graphs, n_sizes, node_off, spec: BatchSpec) -> dict:
     center = np.full((S2, 2), spec.num_nodes - 1, np.int32)
     for i, g in enumerate(graphs):
         ex = g.extras
-        node_segment2[node_off[i]:node_off[i + 1]] = (
+        ns = node_off[i]
+        node_segment2[ns:ns + n_sizes[i]] = (
             np.asarray(ex["node_to_subgraph2"]) + s2_off[i]
         )
         segment2_parent[s2_off[i]:s2_off[i + 1]] = (
@@ -613,7 +688,8 @@ def _batch_ksets(graphs, node_off, spec: BatchSpec, fields) -> dict:
     return out
 
 
-def _batch_named_extras(graphs, n_sizes, e_sizes, perms, node_off, spec):
+def _batch_named_extras(graphs, n_sizes, e_sizes, perms, node_off, edge_off,
+                        spec):
     """Generic extras: node-aligned padded like x, edge-aligned permuted
     like edge_attr, dense per-graph matrices stacked into (G, M, M)."""
     out: dict = {}
@@ -644,7 +720,7 @@ def _batch_named_extras(graphs, n_sizes, e_sizes, perms, node_off, spec):
         if v0.ndim >= 1 and v0.shape[0] == graphs[0].num_nodes:
             out[key] = _pad_rows(
                 [np.asarray(g.extras[key]) for g in graphs],
-                n_sizes, spec.num_nodes,
+                n_sizes, spec.num_nodes, offsets=node_off,
             )
         elif v0.ndim >= 1 and v0.shape[0] == graphs[0].num_edges:
             out[key] = _pad_rows(
@@ -652,7 +728,7 @@ def _batch_named_extras(graphs, n_sizes, e_sizes, perms, node_off, spec):
                     np.asarray(g.extras[key])[perms[i]]
                     for i, g in enumerate(graphs)
                 ],
-                e_sizes, spec.num_edges,
+                e_sizes, spec.num_edges, offsets=edge_off,
             )
         else:
             raise ValueError(

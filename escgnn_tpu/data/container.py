@@ -119,6 +119,17 @@ class GraphBatch(struct.PyTreeNode):
     original_mask: Optional[Any] = None
     # named padded extras (k-set graphs, attn_bias, posenc, ...)
     extras: Optional[dict] = None
+    # uniform layout (static metadata, not traced): when set, node id
+    # g*nodes_per_graph + i / edge id g*edges_per_graph + k — every graph
+    # occupies an identically-sized block, so message passing can run as
+    # per-graph batched one-hot einsums on the MXU instead of global
+    # gather/scatter (see models/layers.py GINEConv dense path)
+    nodes_per_graph: Optional[int] = struct.field(
+        pytree_node=False, default=None
+    )
+    edges_per_graph: Optional[int] = struct.field(
+        pytree_node=False, default=None
+    )
 
     @property
     def num_nodes(self) -> int:

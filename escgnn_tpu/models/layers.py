@@ -154,6 +154,45 @@ class MLP(nn.Module):
         return x
 
 
+def _dense_local_aggregate(x, senders, receivers, edge_emb, edge_mask, n_u):
+    """GINE aggregation on the uniform per-graph layout.
+
+    The batched supergraph is block-diagonal: graph g's edges only touch
+    its own n_u node slots. With every graph padded to an identical
+    (n_u, e_u) block (data/batching.py `BatchSpec.uniform`), gather and
+    scatter become per-graph one-hot einsums — small batched matmuls the
+    MXU streams, instead of a global XLA scatter over all N rows.
+    At equal shapes the aggregation alone is ~2.5x faster fwd / ~3x bwd
+    than take+segment_sum on the chip (tools/conv_bench.py). End to end it
+    only wins when per-graph (n, e) variance is low: uniform blocks pad
+    every graph to the max, and the per-edge MLPs pay for every padded
+    row — on the mixed-size ZINC bench batch exact packing + segment_sum
+    is ~20% faster overall, so this path is opt-in via BatchSpec.uniform.
+    """
+    N, H = x.shape
+    E = senders.shape[0]
+    G = N // n_u
+    e_u = E // G
+    assert G * n_u == N and G * e_u == E, (N, E, n_u, e_u)
+    cdt = x.dtype
+    send_l = (senders % n_u).reshape(G, e_u)
+    recv_l = (receivers % n_u).reshape(G, e_u)
+    ar = jnp.arange(n_u, dtype=senders.dtype)
+    oh_s = (send_l[:, :, None] == ar[None, None, :]).astype(cdt)
+    gathered = jnp.einsum(
+        "gen,gnh->geh", oh_s, x.reshape(G, n_u, H),
+        preferred_element_type=jnp.float32,
+    ).astype(cdt)
+    msg = nn.relu(gathered + edge_emb.reshape(G, e_u, H))
+    # mask padding edges on the scatter side (their one-hot row -> 0)
+    oh_r = (recv_l[:, :, None] == ar[None, None, :]).astype(cdt)
+    oh_r = oh_r * edge_mask.reshape(G, e_u, 1).astype(cdt)
+    agg = jnp.einsum(
+        "gen,geh->gnh", oh_r, msg, preferred_element_type=jnp.float32,
+    )
+    return agg.reshape(N, H).astype(cdt)
+
+
 class GINEConv(nn.Module):
     """PyG-semantics GINEConv over a padded edge list (see module docstring).
 
@@ -166,6 +205,10 @@ class GINEConv(nn.Module):
     mlp: nn.Module
     edge_dim: Optional[int] = None  # project edge features to in_channels
     edge_shard_axis: Optional[str] = None
+    # uniform per-graph layout (batch.nodes_per_graph): gather/scatter run
+    # as per-graph one-hot einsums on the MXU (see _dense_local_aggregate
+    # for when this wins; opt-in via BatchSpec.uniform)
+    uniform_nodes: Optional[int] = None
 
     @nn.compact
     def __call__(
@@ -184,14 +227,20 @@ class GINEConv(nn.Module):
         eps = self.param("eps", nn.initializers.zeros, ())
         if self.edge_dim is not None:
             edge_emb = TorchDense(in_ch, name="lin_edge")(edge_emb)
-        msg = nn.relu(jnp.take(x, senders, axis=0) + edge_emb)
-        agg = segment_sum(
-            msg,
-            receivers,
-            num_segments=x.shape[0],
-            mask=edge_mask,
-            indices_are_sorted=True,
-        )
+        if self.uniform_nodes is not None and self.edge_shard_axis is None:
+            agg = _dense_local_aggregate(
+                x, senders, receivers, edge_emb, edge_mask,
+                self.uniform_nodes,
+            )
+        else:
+            msg = nn.relu(jnp.take(x, senders, axis=0) + edge_emb)
+            agg = segment_sum(
+                msg,
+                receivers,
+                num_segments=x.shape[0],
+                mask=edge_mask,
+                indices_are_sorted=True,
+            )
         if self.edge_shard_axis is not None:
             agg = jax.lax.psum(agg, self.edge_shard_axis)
         out = (1.0 + eps) * x + agg

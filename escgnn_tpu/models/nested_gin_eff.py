@@ -138,6 +138,7 @@ class NestedGINEff(nn.Module):
                 mlp=MLP(features=(H, H), dropout=cfg.dropout, act=act),
                 edge_dim=z_emb.shape[-1],
                 edge_shard_axis=cfg.edge_shard_axis,
+                uniform_nodes=batch.nodes_per_graph,
                 name=name,
             )
 
