@@ -41,15 +41,48 @@ def set_backward_matmul_dtype(dtype):
     _BWD_MATMUL_DTYPE = dtype
 
 
-# forward implementation: "gather" (XLA take+einsum, default) or "pallas"
-# (VMEM-resident-table kernel, ops/zemb_pallas.py — opt-in, see its doc).
-_IMPL = "gather"
+# forward implementation:
+#   "countmat" (default): materialize the dense per-row count matrix
+#       C[r, z] = sum_p cnt[r, p] * [idx[r, p] == z]        (R, Z) f32
+#     once per step (it is data — independent of the parameters), then
+#       z_emb = C @ table          and autodiff gives  dT = C^T @ dZ
+#     Both directions are single MXU matmuls; no (R, P, H) gather is ever
+#     materialized and no scatter/while loop appears anywhere. Profiled on
+#     the ZINC flagship step this replaces ~1.25 ms of gather + scan-VJP
+#     with ~0.2 ms of build + matmuls.
+#   "gather": XLA take + einsum forward, blocked one-hot-matmul custom VJP
+#     (the previous default; still exact, more HBM traffic).
+#   "pallas": VMEM-resident-table kernel (ops/zemb_pallas.py — opt-in).
+_IMPL = "countmat"
 
 
 def set_impl(impl: str):
     global _IMPL
-    assert impl in ("gather", "pallas"), impl
+    assert impl in ("gather", "pallas", "countmat"), impl
     _IMPL = impl
+
+
+def _count_matrix(enc_idx, enc_cnt, num_buckets: int):
+    """Dense (R, Z) count matrix from the (R, P) width layout.
+
+    Built with a broadcast compare + reduce over the width axis — a single
+    VPU loop fusion writing only (R, Z); padding entries carry cnt == 0 so
+    they vanish regardless of their idx. f32 (counts are small integers)
+    keeps the matmuls bit-comparable with the exact gather path."""
+    zr = jnp.arange(num_buckets, dtype=enc_idx.dtype)
+    onehot = enc_idx[:, :, None] == zr[None, None, :]
+    # no stop_gradient: the cnt->C path is a select, so autodiff yields the
+    # exact dCnt when (and only when) someone differentiates wrt counts —
+    # training grads are wrt params only and never build that path.
+    return jnp.sum(
+        jnp.where(onehot, enc_cnt[:, :, None].astype(jnp.float32), 0.0),
+        axis=1,
+    )
+
+
+def _countmat_reduce(table, enc_idx, enc_cnt):
+    C = _count_matrix(enc_idx, enc_cnt, table.shape[0])
+    return jnp.dot(C, table, preferred_element_type=jnp.float32)
 
 
 def _forward(table, enc_idx, enc_cnt):
@@ -73,11 +106,12 @@ def zemb_weighted_gather(table, enc_idx, enc_cnt):
 
     Accepts the int16 wire format from the batcher (ids/counts cast here).
     """
-    return _zemb_core(
-        table,
-        enc_idx.astype(jnp.int32),
-        enc_cnt.astype(jnp.float32),
-    )
+    enc_idx = enc_idx.astype(jnp.int32)
+    enc_cnt = enc_cnt.astype(jnp.float32)
+    if _IMPL == "countmat":
+        # plain autodiff: dT = C^T @ dZ is the transpose matmul, no custom VJP
+        return _countmat_reduce(table, enc_idx, enc_cnt)
+    return _zemb_core(table, enc_idx, enc_cnt)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=())
