@@ -79,15 +79,15 @@ def main():
         l1_graph_loss,
         make_train_step,
     )
-    # exact per-batch budget: padding drops from ~23% of edges to <2%,
-    # so every padded row the step processes is (almost) real work;
-    # dedup encoding layout: molecular graphs repeat ESC histograms
-    # heavily (~3.4x on this batch), so the z-emb reduce runs on unique
-    # rows only + one (R,H)->(E,H) take. (The flat COO layout gathers the
-    # least in the FORWARD but its table-VJP is entry-blocked — K*Z*H
-    # MACs vs the width/dedup layouts' R*Z*H — ~3x slower end to end for
-    # training; it remains the inference layout.)
-    spec = BatchSpec.exact(graphs, enc_layout="dedup")
+    # uniform per-graph blocks: every graph padded to the same
+    # (nodes, edges) block so GINE gather/scatter run as per-graph
+    # one-hot einsums on the MXU instead of global XLA gather/scatter.
+    # ~23% padded rows, but scan-timed end to end it beats exact packing
+    # 2.67 vs 3.23 ms/step on this batch (the earlier opposite conclusion
+    # was an artifact of dispatch-bound timing). Dedup encoding layout:
+    # molecular graphs repeat ESC histograms heavily (~3.4x here), so the
+    # z-emb reduce runs on unique rows only + one (R,H)->(E,H) take.
+    spec = BatchSpec.uniform(graphs, batch_size, enc_layout="dedup")
     batch = jax.tree.map(jnp.asarray, pad_and_batch(graphs, spec))
     real_edges = int(np.sum([g.num_edges for g in graphs]))
 

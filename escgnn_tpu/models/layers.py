@@ -163,11 +163,11 @@ def _dense_local_aggregate(x, senders, receivers, edge_emb, edge_mask, n_u):
     scatter become per-graph one-hot einsums — small batched matmuls the
     MXU streams, instead of a global XLA scatter over all N rows.
     At equal shapes the aggregation alone is ~2.5x faster fwd / ~3x bwd
-    than take+segment_sum on the chip (tools/conv_bench.py). End to end it
-    only wins when per-graph (n, e) variance is low: uniform blocks pad
-    every graph to the max, and the per-edge MLPs pay for every padded
-    row — on the mixed-size ZINC bench batch exact packing + segment_sum
-    is ~20% faster overall, so this path is opt-in via BatchSpec.uniform.
+    than take+segment_sum on the chip (tools/conv_bench.py). End to end
+    (scan-timed on device) it wins despite ~23% extra padded rows on the
+    mixed-size ZINC bench batch: 2.67 vs 3.23 ms/step vs exact packing.
+    The win grows when per-graph (n, e) variance is low. Opt in via
+    BatchSpec.uniform (the flagship bench and the ZINC driver use it).
     """
     N, H = x.shape
     E = senders.shape[0]
