@@ -78,6 +78,13 @@ class BatchSpec:
     y_is_node_level: bool = False
     num_enc_nnz: int = 0
     num_enc_rows: int = 0
+    # >0: compact the bucket universe per batch — enc_idx is remapped to
+    # [0, num_enc_buckets) and `enc_bucket_ids` maps back to table rows.
+    # The z-emb count-matrix build scales with this instead of the full
+    # table height (dataset vocabularies cover a fraction of the 1800
+    # buckets). Sized from the DATASET-WIDE distinct-bucket count, so any
+    # shuffled batch fits.
+    num_enc_buckets: int = 0
     # subgraph-copy budgets
     num_segments: int = 0
     num_segments2: int = 0
@@ -112,6 +119,8 @@ class BatchSpec:
         assert enc_layout in ("width", "dedup", "flat"), enc_layout
         bs = int(batch_size)
         mx = _per_graph_maxima(graphs)
+        if enc_layout == "dedup":
+            mx["enc_buckets"] = _distinct_bucket_budget(graphs)
         kw = _budgets_from(mx, scale=bs, enc_layout=enc_layout)
         # +1: padding edges park on a dedicated padding node
         kw["num_nodes"] = _round_up(bs * mx["nodes"] + 1, 8)
@@ -142,6 +151,8 @@ class BatchSpec:
         assert enc_layout in ("width", "dedup", "flat"), enc_layout
         bs = int(batch_size)
         mx = _per_graph_maxima(graphs)
+        if enc_layout == "dedup":
+            mx["enc_buckets"] = _distinct_bucket_budget(graphs)
         kw = _budgets_from(mx, scale=bs, enc_layout=enc_layout)
         n_u = _round_up(mx["nodes"] + 1, 8)
         e_u = _round_up(mx["edges"], 8)
@@ -174,6 +185,8 @@ class BatchSpec:
                     i, c = g.enc_row(e)
                     rows.add(tuple(i.tolist() + c.tolist()))
             tot["enc_rows"] = len(rows)
+        if enc_layout == "dedup":
+            tot["enc_buckets"] = _distinct_bucket_budget(graphs)
         kw = _budgets_from(tot, scale=1, enc_layout=enc_layout)
         kw["max_nodes_per_graph"] = mx["nodes"]
         kw["max_segments_per_graph"] = mx["segments_per_graph"]
@@ -244,6 +257,27 @@ def _per_graph_totals(graphs) -> dict:
     return out
 
 
+def _distinct_bucket_budget(graphs) -> int:
+    """Dataset-wide distinct ESC bucket count -> static compaction budget.
+    0 disables compaction (the active set wouldn't beat the raw id
+    space, so the per-batch remap would only add work)."""
+    ids: set = set()
+    cap = 0
+    for g in graphs:
+        if g.enc_idx is None:
+            continue
+        a = np.asarray(g.enc_idx)
+        if a.size == 0:
+            continue
+        u = np.unique(a)
+        ids.update(u.tolist())
+        cap = max(cap, int(u[-1]) + 1)
+    if not ids:
+        return 0
+    budget = _round_up(len(ids), 128)
+    return budget if budget < _round_up(cap, 128) else 0
+
+
 def _budgets_from(m: dict, scale: int, enc_layout: str) -> dict:
     kw = dict(
         enc_width=0,
@@ -266,6 +300,7 @@ def _budgets_from(m: dict, scale: int, enc_layout: str) -> dict:
             kw["enc_width"] = _round_up(m["enc_w"], 8)
             # +1: the all-zero row every padding edge maps to
             kw["num_enc_rows"] = _round_up(scale * m["enc_rows"] + 1, 128)
+            kw["num_enc_buckets"] = m.get("enc_buckets", 0)
         else:
             kw["num_enc_nnz"] = _round_up(scale * m["enc_nnz"], 128)
     for k in (2, 3):
@@ -509,11 +544,30 @@ def _batch_encoding(graphs, perms, edge_off, spec: BatchSpec) -> dict:
             u_cnt = np.zeros((R, W), _ENC_DTYPE)
             u_idx[: len(uniq)] = uniq[:, :W]
             u_cnt[: len(uniq)] = uniq[:, W:]
-            return {
+            out = {
                 "enc_idx": u_idx,
                 "enc_cnt": u_cnt,
                 "enc_edge_row": inv.astype(np.int32),
             }
+            if spec.num_enc_buckets > 0:
+                # bucket compaction: remap ids to the batch's active set;
+                # entries with cnt == 0 keep slot 0 (their contribution is
+                # 0 regardless of which table row slot 0 names)
+                B = spec.num_enc_buckets
+                act = np.unique(u_idx[u_cnt > 0])
+                assert len(act) <= B, (
+                    f"batch uses {len(act)} distinct buckets, budget {B}"
+                )
+                bucket_ids = np.zeros(B, np.int32)
+                bucket_ids[: len(act)] = act
+                remap = np.zeros(int(act[-1]) + 2 if len(act) else 2,
+                                 _ENC_DTYPE)
+                remap[act] = np.arange(len(act), dtype=_ENC_DTYPE)
+                out["enc_idx"] = np.where(
+                    u_cnt > 0, remap[u_idx], 0
+                ).astype(_ENC_DTYPE)
+                out["enc_bucket_ids"] = bucket_ids
+            return out
         return {"enc_idx": enc_idx, "enc_cnt": enc_cnt}
     K = spec.num_enc_nnz
     tot = sum(p.shape[0] for p in idx_parts)

@@ -105,6 +105,10 @@ class GraphBatch(struct.PyTreeNode):
     # (R, P) rows and this maps each edge to its row (molecular graphs
     # repeat histograms heavily — ~3.4x fewer rows on ZINC batches)
     enc_edge_row: Optional[Any] = None
+    # bucket compaction (dedup layout): enc_idx is remapped into
+    # [0, len(enc_bucket_ids)) and this maps compact slots back to
+    # embedding-table rows (spec.num_enc_buckets)
+    enc_bucket_ids: Optional[Any] = None
     # subgraph-copy level (NGNN/k-GNN two-level pooling)
     node_segment: Optional[Any] = None  # node -> subgraph copy
     segment_graph: Optional[Any] = None  # copy -> graph

@@ -64,6 +64,26 @@ class TorchDense(nn.Module):
         return y
 
 
+class TorchEmbed(nn.Module):
+    """nn.Embed (torch nn.Embedding N(0,1) init, same param name
+    "embedding") with the one-hot-matmul backward of `ops/embed.py` —
+    XLA's native gather transpose is a serial row scatter-add."""
+
+    num_embeddings: int
+    features: int
+
+    @nn.compact
+    def __call__(self, ids):
+        from escgnn_tpu.ops.embed import embed_take
+
+        table = self.param(
+            "embedding",
+            nn.initializers.normal(1.0),
+            (self.num_embeddings, self.features),
+        )
+        return embed_take(table, ids.astype(jnp.int32))
+
+
 class MaskedBatchNorm(nn.Module):
     """BatchNorm1d over rows with a validity mask.
 

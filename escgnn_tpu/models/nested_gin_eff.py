@@ -25,8 +25,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from escgnn_tpu.data.container import GraphBatch
-from escgnn_tpu.models.layers import MLP, MaskedBatchNorm, TorchDense
-from escgnn_tpu.ops.segment import segment_mean, segment_sum
+from escgnn_tpu.models.layers import MLP, MaskedBatchNorm, TorchDense, TorchEmbed
+from escgnn_tpu.ops.segment import pool_nodes_to_graphs
 from escgnn_tpu.ops.zemb import zemb_from_batch
 from escgnn_tpu.models.layers import GINEConv
 
@@ -85,10 +85,9 @@ class NestedGINEff(nn.Module):
         # --- node input features ---
         x = batch.x
         if cfg.node_embed_vocab:
-            emb = nn.Embed(
+            emb = TorchEmbed(
                 cfg.node_embed_vocab,
                 cfg.node_embed_dim,
-                embedding_init=nn.initializers.normal(1.0),
                 name="node_type_embedding",
             )
             x = emb(x.astype(jnp.int32).reshape(x.shape[0]))
@@ -97,10 +96,9 @@ class NestedGINEff(nn.Module):
             x = jnp.concatenate([x, batch.pos.astype(jnp.float32)], axis=-1)
         if cfg.node_add_embed_vocab:
             node_type = batch.extras["node_type"].astype(jnp.int32)
-            x = x + nn.Embed(
+            x = x + TorchEmbed(
                 cfg.node_add_embed_vocab,
                 x.shape[-1],
-                embedding_init=nn.initializers.normal(1.0),
                 name="node_type_embedding",
             )(node_type.reshape(node_type.shape[0]))
 
@@ -114,10 +112,9 @@ class NestedGINEff(nn.Module):
             axis_name=cfg.edge_shard_axis, name="z_embedding",
         )(z_emb, edge_mask, **kw)
         if cfg.edge_embed_vocab:
-            eemb = nn.Embed(
+            eemb = TorchEmbed(
                 cfg.edge_embed_vocab,
                 cfg.edge_embed_dim,
-                embedding_init=nn.initializers.normal(1.0),
                 name="edge_type_embedding",
             )
             ea = batch.edge_attr
@@ -176,11 +173,9 @@ class NestedGINEff(nn.Module):
 
         # --- head ---
         if cfg.graph_pred:
-            G = batch.num_graphs
-            if cfg.pool == "add":
-                h = segment_sum(h, batch.node_graph, G, mask=node_mask)
-            else:
-                h = segment_mean(h, batch.node_graph, G, mask=node_mask)
+            h = pool_nodes_to_graphs(
+                h, batch, reduce="sum" if cfg.pool == "add" else "mean"
+            )
             head_mask = batch.graph_mask
         else:
             head_mask = node_mask

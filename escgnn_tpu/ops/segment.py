@@ -118,6 +118,35 @@ def segment_softmax(
     return ex / denom[segment_ids]
 
 
+def pool_nodes_to_graphs(
+    values: jax.Array,
+    batch,
+    reduce: str = "sum",
+) -> jax.Array:
+    """Pool per-node rows to per-graph rows: (N, F) -> (G, F).
+
+    On the uniform per-graph block layout (batch.nodes_per_graph set,
+    N == G * n_u) this is a masked reshape + axis reduction — no scatter
+    at all (the segment-sum was ~140 us/step of the flagship profile).
+    Otherwise falls back to the masked sorted segment reduction."""
+    G = batch.num_graphs
+    n_u = getattr(batch, "nodes_per_graph", None)
+    mask = batch.node_mask
+    if n_u is not None and values.shape[0] == G * n_u:
+        v = values.reshape(G, n_u, *values.shape[1:])
+        m = mask.reshape(G, n_u)
+        mm = m.reshape(m.shape + (1,) * (v.ndim - 2))
+        s = jnp.sum(jnp.where(mm, v, 0.0), axis=1)
+        if reduce == "sum":
+            return s
+        if reduce == "mean":
+            cnt = jnp.maximum(jnp.sum(m.astype(s.dtype), axis=1), 1.0)
+            return s / cnt.reshape((G,) + (1,) * (s.ndim - 1))
+        raise ValueError(reduce)
+    fn = {"sum": segment_sum, "mean": segment_mean}[reduce]
+    return fn(values, batch.node_graph, G, mask=mask, indices_are_sorted=True)
+
+
 def masked_mean(values: jax.Array, mask: jax.Array, axis=None) -> jax.Array:
     """Mean of `values` over positions where mask is true."""
     m = mask.reshape(mask.shape + (1,) * (values.ndim - mask.ndim))

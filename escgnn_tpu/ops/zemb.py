@@ -201,6 +201,14 @@ def zemb_from_batch(table, batch):
     table-VJP matmul work ~3x (measured 7.3 -> 5.2 ms on the flagship
     train step)."""
     if getattr(batch, "enc_edge_row", None) is not None:
+        if getattr(batch, "enc_bucket_ids", None) is not None:
+            # bucket compaction: gather the batch's active table rows so
+            # the count-matrix build scales with the dataset's bucket
+            # vocabulary, not the full table height (grad flows back
+            # through a one-hot-matmul embed_take)
+            from escgnn_tpu.ops.embed import embed_take
+
+            table = embed_take(table, batch.enc_bucket_ids.astype(jnp.int32))
         u = zemb_weighted_gather(table, batch.enc_idx, batch.enc_cnt)
         return jnp.take(u, batch.enc_edge_row, axis=0)
     if getattr(batch, "enc_flat_idx", None) is not None:

@@ -27,7 +27,10 @@ def _graphs(rng, k=3):
     return out
 
 
-def _dense(rows_idx, rows_cnt, edge_row=None, E=None):
+def _dense(rows_idx, rows_cnt, edge_row=None, E=None, bucket_ids=None):
+    if bucket_ids is not None:
+        # bucket compaction: translate compact slots back to table rows
+        rows_idx = np.asarray(bucket_ids)[rows_idx]
     if edge_row is None:
         idx, cnt = rows_idx, rows_cnt
     else:
@@ -53,9 +56,11 @@ def test_dedup_batching_matches_width(rng):
     E = bw.edge_mask.shape[0]
     m = np.asarray(bw.edge_mask)
     dw = _dense(np.asarray(bw.enc_idx), np.asarray(bw.enc_cnt), E=E)
+    assert bd.enc_bucket_ids is not None  # featureless graphs: tiny vocab
     dd = _dense(
         np.asarray(bd.enc_idx), np.asarray(bd.enc_cnt),
         np.asarray(bd.enc_edge_row), E=E,
+        bucket_ids=bd.enc_bucket_ids,
     )
     np.testing.assert_allclose(dw[m], dd[m], atol=1e-6)
     # padding edges map to an all-zero row
@@ -112,7 +117,13 @@ def test_dedup_grads_match_width(rng):
 
     def loss(b):
         def f(t):
-            b2 = b.replace(enc_idx=b.enc_idx.astype(jnp.int32) % Z)
+            if getattr(b, "enc_bucket_ids", None) is not None:
+                # compacted layout: fold the TABLE-row ids into [0, Z)
+                b2 = b.replace(
+                    enc_bucket_ids=b.enc_bucket_ids.astype(jnp.int32) % Z
+                )
+            else:
+                b2 = b.replace(enc_idx=b.enc_idx.astype(jnp.int32) % Z)
             return jnp.sum(
                 jnp.sin(zemb_from_batch(t, b2)) * m[:, None]
             )
