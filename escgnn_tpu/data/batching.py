@@ -121,6 +121,7 @@ class BatchSpec:
         mx = _per_graph_maxima(graphs)
         if enc_layout == "dedup":
             mx["enc_buckets"] = _distinct_bucket_budget(graphs)
+            mx["enc_rows_cap"] = _distinct_row_cap(graphs)
         kw = _budgets_from(mx, scale=bs, enc_layout=enc_layout)
         # +1: padding edges park on a dedicated padding node
         kw["num_nodes"] = _round_up(bs * mx["nodes"] + 1, 8)
@@ -153,6 +154,7 @@ class BatchSpec:
         mx = _per_graph_maxima(graphs)
         if enc_layout == "dedup":
             mx["enc_buckets"] = _distinct_bucket_budget(graphs)
+            mx["enc_rows_cap"] = _distinct_row_cap(graphs)
         kw = _budgets_from(mx, scale=bs, enc_layout=enc_layout)
         n_u = _round_up(mx["nodes"] + 1, 8)
         e_u = _round_up(mx["edges"], 8)
@@ -257,6 +259,23 @@ def _per_graph_totals(graphs) -> dict:
     return out
 
 
+def _distinct_row_cap(graphs) -> int:
+    """Dataset-wide distinct (idx, cnt) encoding rows: a hard upper bound
+    on any batch's unique-row count, usually far below
+    batch_size x per-graph max (molecule datasets repeat histograms
+    heavily). Used to cap num_enc_rows so the z-emb count-matrix build
+    does not run over rows that can never exist."""
+    rows = set()
+    for g in graphs:
+        if g.enc_offsets is None:
+            continue
+        off = np.asarray(g.enc_offsets)
+        for e in range(len(off) - 1):
+            i, c = g.enc_row(e)
+            rows.add((i.tobytes(), c.tobytes()))
+    return len(rows)
+
+
 def _distinct_bucket_budget(graphs) -> int:
     """Dataset-wide distinct ESC bucket count -> static compaction budget.
     0 disables compaction (the active set wouldn't beat the raw id
@@ -298,8 +317,14 @@ def _budgets_from(m: dict, scale: int, enc_layout: str) -> dict:
             kw["enc_width"] = _round_up(m["enc_w"], 8)
         elif enc_layout == "dedup":
             kw["enc_width"] = _round_up(m["enc_w"], 8)
-            # +1: the all-zero row every padding edge maps to
-            kw["num_enc_rows"] = _round_up(scale * m["enc_rows"] + 1, 128)
+            # +1: the all-zero row every padding edge maps to;
+            # capped by the dataset-wide distinct-row count (no batch can
+            # exceed it, whatever the shuffle)
+            rows = scale * m["enc_rows"]
+            cap = m.get("enc_rows_cap", 0)
+            if cap:
+                rows = min(rows, cap)
+            kw["num_enc_rows"] = _round_up(rows + 1, 128)
             kw["num_enc_buckets"] = m.get("enc_buckets", 0)
         else:
             kw["num_enc_nnz"] = _round_up(scale * m["enc_nnz"], 128)

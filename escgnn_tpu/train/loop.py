@@ -40,8 +40,15 @@ class TrainState(struct.PyTreeNode):
 
 def adam_with_plateau(lr: float) -> optax.GradientTransformation:
     """Adam with an externally controlled learning rate
-    (torch.optim.Adam defaults: b1=0.9 b2=0.999 eps=1e-8)."""
-    return optax.inject_hyperparams(optax.adam)(learning_rate=lr)
+    (torch.optim.Adam defaults: b1=0.9 b2=0.999 eps=1e-8).
+
+    Wrapped in `optax.flatten`: the update runs on ONE concatenated
+    vector instead of per-tensor chains — the per-tensor version was
+    ~600 XLA ops/step on the flagship model (~40 tensors), a measurable
+    slice of the step at these batch sizes. Semantics are identical
+    (adam is elementwise); `set_learning_rate` still reaches
+    `opt_state.hyperparams` (flatten keeps the inner state)."""
+    return optax.flatten(optax.inject_hyperparams(optax.adam)(learning_rate=lr))
 
 
 def set_learning_rate(state: TrainState, lr: float) -> TrainState:
