@@ -16,6 +16,7 @@ value (see BASELINE.md). vs_baseline > 1 means faster than that estimate.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
@@ -148,6 +149,13 @@ def main():
         float(losses[-1])
         best = min(best, time.perf_counter() - t0)
     dt = best
+
+    # optional post-timing jax.profiler trace (tools/profile_step.py parses it)
+    profile_dir = os.environ.get("BENCH_PROFILE_DIR")
+    if profile_dir:
+        with jax.profiler.trace(profile_dir):
+            state, losses = scan_steps(state, batch, rng)
+            float(losses[-1])
 
     steps_per_s = n_iter / dt
     edges_per_s = real_edges * steps_per_s

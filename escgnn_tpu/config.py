@@ -105,8 +105,8 @@ DEFAULTS = {
         "num_heads": 4,
         "dropout": 0.0,
         "attn_dropout": 0.0,
-        "local_model": "gine",  # gine | gatedgcn
-        "global_model": "transformer",  # transformer | linear
+        "local_model": "gine",  # gine | gatedgcn | pna
+        "global_model": "transformer",  # transformer | linear | bigbird
         "use_esc": True,
         "use_attn_bias": True,
         "use_lap_pe": False,

@@ -37,8 +37,17 @@ class GPSConfig:
     num_heads: int = 4
     dropout: float = 0.0
     attn_dropout: float = 0.0
-    local_model: str = "gine"  # gine | gatedgcn (gps_layer.py local zoo)
-    global_model: str = "transformer"  # transformer | linear (Performer-style)
+    local_model: str = "gine"  # gine | gatedgcn | pna (gps_layer.py local zoo)
+    global_model: str = "transformer"  # transformer | linear (Performer) | bigbird
+    # BigBird pattern knobs (block-sparse attention, Zaheer et al.; the
+    # reference's BigBird option `gps_layer.py:98-109`). Graphs here are
+    # tiny (M <= a few dozen), so the TPU-fast implementation is the
+    # dense masked form of the same pattern, not gather-based blocks.
+    bigbird_window: int = 3  # sliding-window radius in node-index order
+    bigbird_global: int = 2  # first g tokens per graph are global
+    bigbird_random: int = 2  # deterministic pseudo-random extra keys/query
+    pna_towers: int = 4  # towers for the pna local model
+    avg_deg_log: float = 1.0  # E[log(1+deg)] for pna scalers
     use_esc: bool = True  # inject ESC edge encoding every layer
     use_attn_bias: bool = False  # Graphormer-style SPD bias
     spd_vocab: int = 102  # cap 100 + unreachable + 0
@@ -57,21 +66,52 @@ class GPSConfig:
     out_dim: int = 1
 
 
+def _bigbird_mask(m: int, window: int, num_global: int, num_random: int):
+    """Static (M, M) BigBird attendability mask: sliding window in
+    node-index order + global first tokens + deterministic pseudo-random
+    extra keys (fixed odd-stride pattern — keeps the mask a compile-time
+    constant; the reference's BigBird samples random blocks once at init).
+    """
+    i = jnp.arange(m)[:, None]
+    j = jnp.arange(m)[None, :]
+    mask = jnp.abs(i - j) <= window
+    mask = mask | (i < num_global) | (j < num_global)
+    for r in range(num_random):
+        # odd strides are coprime with any power-of-two M -> distinct keys
+        stride = 2 * r + 3
+        mask = mask | (j == (i * stride + r) % m)
+    return mask  # (M, M) bool
+
+
 class DenseAttention(nn.Module):
-    """Per-graph multi-head attention over scattered dense node states."""
+    """Per-graph multi-head attention over scattered dense node states.
+
+    `pattern="bigbird"` applies the BigBird block-sparse attendability
+    mask (window ‖ global ‖ random) to the same dense logits — on the
+    molecule-scale graphs of this workload the masked dense form is
+    faster on the MXU than any gather-based sparse realization.
+    """
 
     dim_h: int
     num_heads: int
     use_bias: bool
     spd_vocab: int
+    pattern: str = "full"  # full | bigbird
+    window: int = 3
+    num_global: int = 2
+    num_random: int = 2
 
     @nn.compact
     def __call__(self, h, batch: GraphBatch, *, deterministic: bool):
         G = batch.num_graphs
-        M = batch.extras["attn_bias"].shape[1] if self.use_bias else None
-        if M is None:
-            # dense budget from node_local (fallback when no bias matrix)
-            M = int(batch.extras["dense_m"]) if batch.extras and "dense_m" in batch.extras else None
+        # static per-graph dense budget M: from the attn_bias matrix when
+        # the batcher produced one, else the explicit dense_m extra
+        M = None
+        if batch.extras:
+            if "attn_bias" in batch.extras:
+                M = batch.extras["attn_bias"].shape[1]
+            elif "dense_m" in batch.extras:
+                M = int(batch.extras["dense_m"])
         assert M is not None, "GPS attention needs the dense budget (attn_bias)"
         D, Hh = self.dim_h, self.num_heads
         hd = D // Hh
@@ -101,6 +141,11 @@ class DenseAttention(nn.Module):
         logits = jnp.where(
             key_mask[:, None, None, :], logits, jnp.finfo(jnp.float32).min
         )
+        if self.pattern == "bigbird":
+            bb = _bigbird_mask(M, self.window, self.num_global, self.num_random)
+            logits = jnp.where(
+                bb[None, None, :, :], logits, jnp.finfo(jnp.float32).min
+            )
         attn = jax.nn.softmax(logits, axis=-1)
         out = jnp.einsum(
             "ghmn,gnhd->gmhd", attn, v, preferred_element_type=jnp.float32
@@ -201,11 +246,18 @@ class GPSLayer(nn.Module):
             )(z, batch.edge_mask, **kw)
             edge_attr = edge_attr + z
 
-        # local MPNN (gine | gatedgcn — reference gps_layer.py local zoo)
+        # local MPNN (gine | gatedgcn | pna — reference gps_layer.py local zoo)
         if cfg.local_model == "gatedgcn":
             h_local, edge_attr = GatedGCNConv(D, name="local_gatedgcn")(
                 h, batch.senders, batch.receivers, edge_attr, batch.edge_mask
             )
+        elif cfg.local_model == "pna":
+            from escgnn_tpu.models.baselines import PNAConv
+
+            h_local = PNAConv(
+                D, towers=cfg.pna_towers, avg_deg_log=cfg.avg_deg_log,
+                edge_dim=D, name="local_pna",
+            )(h, batch.senders, batch.receivers, batch.edge_mask, edge_attr)
         else:
             from escgnn_tpu.models.layers import GINEConv
 
@@ -223,7 +275,7 @@ class GPSLayer(nn.Module):
             h_local, batch.node_mask, use_running_average
         )
 
-        # global attention (dense transformer | linear Performer-style)
+        # global attention (dense transformer | linear Performer | bigbird)
         if cfg.global_model == "linear":
             h_attn = LinearAttention(
                 D, cfg.num_heads, name="self_attn"
@@ -231,6 +283,12 @@ class GPSLayer(nn.Module):
         else:
             h_attn = DenseAttention(
                 D, cfg.num_heads, cfg.use_attn_bias, cfg.spd_vocab,
+                pattern=(
+                    "bigbird" if cfg.global_model == "bigbird" else "full"
+                ),
+                window=cfg.bigbird_window,
+                num_global=cfg.bigbird_global,
+                num_random=cfg.bigbird_random,
                 name="self_attn",
             )(h, batch, deterministic=deterministic)
         h_attn = nn.Dropout(cfg.dropout, deterministic=deterministic)(h_attn)

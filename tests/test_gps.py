@@ -98,3 +98,46 @@ def test_linear_attention_padding_invariant(gps_batch):
     np.testing.assert_allclose(
         np.asarray(o1)[m], np.asarray(o2)[m], atol=1e-4
     )
+
+
+def test_gps_pna_local(gps_batch):
+    """PNA local model option (reference gps_layer.py local zoo)."""
+    cfg = GPSConfig(
+        dim_h=16, num_layers=1, num_heads=2, use_attn_bias=True,
+        local_model="pna", pna_towers=2, avg_deg_log=1.1,
+    )
+    model = GPSModel(cfg)
+    variables = model.init(jax.random.key(0), gps_batch)
+    out = model.apply(variables, gps_batch)
+    assert out.shape == (gps_batch.num_graphs, 1)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_gps_bigbird_global(gps_batch):
+    """BigBird block-sparse global attention option."""
+    cfg = GPSConfig(
+        dim_h=16, num_layers=1, num_heads=2,
+        global_model="bigbird", bigbird_window=2,
+        bigbird_global=1, bigbird_random=1,
+    )
+    model = GPSModel(cfg)
+    variables = model.init(jax.random.key(0), gps_batch)
+    out = model.apply(variables, gps_batch)
+    assert out.shape == (gps_batch.num_graphs, 1)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_bigbird_mask_pattern():
+    """Window, global and random keys are attendable; far pairs are not."""
+    from escgnn_tpu.models.gps import _bigbird_mask
+
+    m = np.asarray(_bigbird_mask(16, 2, 2, 0))
+    # window
+    assert m[8, 8] and m[8, 10] and not m[8, 11]
+    # global rows/cols
+    assert m[0].all() and m[:, 1].all()
+    # symmetric-ish coverage: every query can attend somewhere real
+    assert m.any(axis=1).all()
+    # random keys add extra attendable pairs beyond window+global
+    m_r = np.asarray(_bigbird_mask(16, 2, 2, 2))
+    assert m_r.sum() > m.sum()
