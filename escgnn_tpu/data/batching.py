@@ -569,10 +569,19 @@ def _batch_encoding(graphs, perms, edge_off, spec: BatchSpec) -> dict:
             u_cnt = np.zeros((R, W), _ENC_DTYPE)
             u_idx[: len(uniq)] = uniq[:, :W]
             u_cnt[: len(uniq)] = uniq[:, W:]
+            # real-edge multiplicity per unique row: the weights under
+            # which row-level batch-norm statistics equal edge-level ones
+            # (padding edge slots are excluded; rows only padding edges
+            # map to — and unused row slots — get weight 0)
+            emask = np.zeros(E, bool)
+            for i in range(len(graphs)):
+                emask[edge_off[i]:edge_off[i] + len(perms[i])] = True
+            weight = np.bincount(inv[emask], minlength=R).astype(np.float32)
             out = {
                 "enc_idx": u_idx,
                 "enc_cnt": u_cnt,
                 "enc_edge_row": inv.astype(np.int32),
+                "enc_row_weight": weight,
             }
             if spec.num_enc_buckets > 0:
                 # bucket compaction: remap ids to the batch's active set;

@@ -105,6 +105,10 @@ class GraphBatch(struct.PyTreeNode):
     # (R, P) rows and this maps each edge to its row (molecular graphs
     # repeat histograms heavily — ~3.4x fewer rows on ZINC batches)
     enc_edge_row: Optional[Any] = None
+    # dedup layout: real-edge multiplicity of each unique row (R,) f32 —
+    # the exact weights that make batch-norm statistics over rows equal
+    # statistics over edges (padding edges/rows carry weight 0)
+    enc_row_weight: Optional[Any] = None
     # bucket compaction (dedup layout): enc_idx is remapped into
     # [0, len(enc_bucket_ids)) and this maps compact slots back to
     # embedding-table rows (spec.num_enc_buckets)

@@ -91,6 +91,11 @@ class MaskedBatchNorm(nn.Module):
     variance in training, update running stats with the unbiased variance,
     momentum 0.1, eps 1e-5, affine.
 
+    `mask` may also be a float weight vector (row multiplicities): the
+    statistics become weighted moments, which makes BN over deduplicated
+    rows bit-equal to BN over the expanded row set (see the dedup z-emb
+    path in models/nested_gin_eff.py).
+
     `axis_name`: when the row dimension is sharded over a mesh axis
     (edge-partitioned execution), batch statistics are psum-reduced over
     that axis so every shard normalizes with the global statistics.

@@ -27,7 +27,7 @@ from flax import linen as nn
 from escgnn_tpu.data.container import GraphBatch
 from escgnn_tpu.models.layers import MLP, MaskedBatchNorm, TorchDense, TorchEmbed
 from escgnn_tpu.ops.segment import pool_nodes_to_graphs
-from escgnn_tpu.ops.zemb import zemb_from_batch
+from escgnn_tpu.ops.zemb import zemb_from_batch, zemb_unique_rows
 from escgnn_tpu.models.layers import GINEConv
 
 
@@ -106,11 +106,23 @@ class NestedGINEff(nn.Module):
         z_table = self.param(
             "z_initial", nn.initializers.normal(1.0), (cfg.z_dim, H)
         )
-        z_emb = zemb_from_batch(z_table, batch)
-        z_emb = MLP(
+        z_mlp = MLP(
             features=(H,), dropout=cfg.dropout, act=act, pre_act=True,
             axis_name=cfg.edge_shard_axis, name="z_embedding",
-        )(z_emb, edge_mask, **kw)
+        )
+        u = zemb_unique_rows(z_table, batch) if cfg.dropout == 0.0 else None
+        if u is not None and getattr(batch, "enc_row_weight", None) is not None:
+            # dedup layout, no dropout: run the z MLP on the R unique rows
+            # with multiplicity-weighted BN (bit-identical statistics to
+            # the per-edge form, since equal rows have equal values), then
+            # expand to edges with one take — R ~ 0.3 E on ZINC batches,
+            # so the whole z pipeline shrinks accordingly. Dropout would
+            # correlate edges sharing a row, hence the dropout == 0 gate.
+            u = z_mlp(u, batch.enc_row_weight, **kw)
+            z_emb = jnp.take(u, batch.enc_edge_row, axis=0)
+        else:
+            z_emb = zemb_from_batch(z_table, batch)
+            z_emb = z_mlp(z_emb, edge_mask, **kw)
         if cfg.edge_embed_vocab:
             eemb = TorchEmbed(
                 cfg.edge_embed_vocab,

@@ -192,6 +192,26 @@ def zemb_weighted_flat(table, flat_idx, flat_cnt, flat_edge, num_edges: int):
     )
 
 
+def zemb_unique_rows(table, batch):
+    """Dedup layout only: the (R, H) reduce over the batch's UNIQUE
+    histogram rows — no edge expansion. Returns None on other layouts.
+
+    Callers that run their per-edge z pipeline on unique rows (weighted
+    BN with `batch.enc_row_weight`, then one take to edges — see
+    NestedGINEff) use this to shrink the whole z path ~R/E."""
+    if getattr(batch, "enc_edge_row", None) is None:
+        return None
+    if getattr(batch, "enc_bucket_ids", None) is not None:
+        # bucket compaction: gather the batch's active table rows so
+        # the count-matrix build scales with the dataset's bucket
+        # vocabulary, not the full table height (grad flows back
+        # through a one-hot-matmul embed_take)
+        from escgnn_tpu.ops.embed import embed_take
+
+        table = embed_take(table, batch.enc_bucket_ids.astype(jnp.int32))
+    return zemb_weighted_gather(table, batch.enc_idx, batch.enc_cnt)
+
+
 def zemb_from_batch(table, batch):
     """Dispatch on the batch's encoding layout.
 
@@ -200,16 +220,8 @@ def zemb_from_batch(table, batch):
     batches R ~ 0.3 E, cutting both the forward gather traffic and the
     table-VJP matmul work ~3x (measured 7.3 -> 5.2 ms on the flagship
     train step)."""
-    if getattr(batch, "enc_edge_row", None) is not None:
-        if getattr(batch, "enc_bucket_ids", None) is not None:
-            # bucket compaction: gather the batch's active table rows so
-            # the count-matrix build scales with the dataset's bucket
-            # vocabulary, not the full table height (grad flows back
-            # through a one-hot-matmul embed_take)
-            from escgnn_tpu.ops.embed import embed_take
-
-            table = embed_take(table, batch.enc_bucket_ids.astype(jnp.int32))
-        u = zemb_weighted_gather(table, batch.enc_idx, batch.enc_cnt)
+    u = zemb_unique_rows(table, batch)
+    if u is not None:
         return jnp.take(u, batch.enc_edge_row, axis=0)
     if getattr(batch, "enc_flat_idx", None) is not None:
         return zemb_weighted_flat(

@@ -106,9 +106,15 @@ def main():
                    help="conv-stack compute dtype (f32 master params)")
     p.add_argument("--analyze", action="store_true",
                    help="per-count-value MAE breakdown after training")
-    p.add_argument("--bn_eval", default="batch",
+    p.add_argument("--bn_eval", default="running",
                    choices=["batch", "running"],
-                   help="eval-time BN statistics (see make_eval_step)")
+                   help="eval-time BN statistics. 'running' (default) = "
+                   "torch model.eval() semantics, with running stats "
+                   "re-estimated on frozen params before each eval — "
+                   "composition-independent, honest generalization. "
+                   "'batch' normalizes with the eval batch's own stats "
+                   "(leaks batch-level information: measured ~3x lower "
+                   "MAE that does not survive re-batching).")
     args = p.parse_args()
 
     res_dir = args.res_dir or os.path.join(

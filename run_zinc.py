@@ -40,6 +40,8 @@ from escgnn_tpu.train.loop import (
     make_eval_step,
     make_train_step,
     set_learning_rate,
+    make_bn_refresh_step,
+    refresh_bn_stats,
 )
 
 
@@ -58,7 +60,7 @@ def main():
     p.add_argument("--num_workers", type=int, default=2)
     p.add_argument("--data_dir", default="data")
     p.add_argument("--res_dir", default=None)
-    p.add_argument("--bn_eval", default="batch",
+    p.add_argument("--bn_eval", default="running",
                choices=["batch", "running"],
                help="eval-time BN statistics (see make_eval_step)")
     args = p.parse_args()
@@ -128,6 +130,7 @@ def main():
     )
     train_step = make_train_step(model, l1_graph_loss)
     eval_step = make_eval_step(model, node_level=False, bn_mode=args.bn_eval)
+    bn_refresh = make_bn_refresh_step(model)
     sched = PlateauScheduler(
         factor=args.lr_decay_factor, patience=args.patience
     )
@@ -149,6 +152,14 @@ def main():
             rng, sub = jax.random.split(rng)
             state, loss = train_step(state, b, sub)
             losses.append(loss)
+        if args.bn_eval == "running":
+            # re-estimate BN running stats with frozen params before eval
+            state = refresh_bn_stats(
+                bn_refresh, state,
+                prefetched_batches(
+                    splits["train"][: 2 * args.batch_size], spec
+                ),
+            )
         val_mae = evaluate(splits["val"])
         lr = get_learning_rate(state)
         new_lr = sched.step(val_mae, lr)

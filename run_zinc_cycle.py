@@ -33,7 +33,7 @@ def main():
     p.add_argument("--num_graphs", type=int, default=1000)
     p.add_argument("--num_workers", type=int, default=2)
     p.add_argument("--res_dir", default=None)
-    p.add_argument("--bn_eval", default="batch",
+    p.add_argument("--bn_eval", default="running",
                choices=["batch", "running"],
                help="eval-time BN statistics (see make_eval_step)")
     args = p.parse_args()
@@ -93,7 +93,9 @@ def main():
         make_eval_step,
         make_train_step,
         set_learning_rate,
-    )
+    make_bn_refresh_step,
+    refresh_bn_stats,
+)
 
     all_graphs = [g for s in splits.values() for g in s]
     spec = BatchSpec.from_graphs(all_graphs, batch_size=args.batch_size)
@@ -124,6 +126,7 @@ def main():
     )
     train_step = make_train_step(model, l1_node_loss)
     eval_step = make_eval_step(model, node_level=True, bn_mode=args.bn_eval)
+    bn_refresh = make_bn_refresh_step(model)
     sched = PlateauScheduler(factor=args.lr_decay_factor,
                              patience=args.patience)
 
@@ -145,6 +148,14 @@ def main():
             rng, sub = jax.random.split(rng)
             state, loss = train_step(state, b, sub)
             losses.append(loss)
+        if args.bn_eval == "running":
+            # re-estimate BN running stats with frozen params before eval
+            state = refresh_bn_stats(
+                bn_refresh, state,
+                prefetched_batches(
+                    splits["train"][: 2 * args.batch_size], spec
+                ),
+            )
         val_mae = evaluate(splits["val"])
         lr = get_learning_rate(state)
         new_lr = sched.step(val_mae, lr)

@@ -133,3 +133,54 @@ def test_dedup_grads_match_width(rng):
     g_d = np.asarray(jax.grad(loss(bd))(table)).ravel()
     cos = g_w.dot(g_d) / (np.linalg.norm(g_w) * np.linalg.norm(g_d) + 1e-12)
     assert cos > 0.999
+
+
+def test_row_weight_counts_real_edges(rng):
+    graphs = _graphs(rng)
+    sd = BatchSpec.from_graphs(graphs, batch_size=3, enc_layout="dedup")
+    bd = pad_and_batch(graphs, sd)
+    w = np.asarray(bd.enc_row_weight)
+    m = np.asarray(bd.edge_mask)
+    er = np.asarray(bd.enc_edge_row)
+    # weights total exactly the real-edge count
+    assert w.sum() == m.sum()
+    # per-row: multiplicity among real edges only
+    ref = np.bincount(er[m], minlength=len(w))
+    np.testing.assert_array_equal(w, ref)
+    # rows only padding edges map to carry weight 0
+    pad_rows = set(er[~m]) - set(er[m])
+    for r in pad_rows:
+        assert w[r] == 0
+
+
+def test_row_mlp_path_matches_edge_path_training(rng):
+    """The unique-row z_embedding pipeline (multiplicity-weighted BN +
+    one take) must be numerically identical to the per-edge pipeline —
+    in TRAINING mode, where batch statistics are computed."""
+    graphs = _graphs(rng)
+    sd = BatchSpec.from_graphs(graphs, batch_size=3, enc_layout="dedup")
+    bd = jax.tree.map(jnp.asarray, pad_and_batch(graphs, sd))
+    model = NestedGINEff(NestedGINEffConfig(
+        hidden=8, num_layers=2, graph_pred=False, use_x_embedding_jk=True,
+    ))
+    v = model.init(jax.random.key(0), bd)
+
+    def fwd(b):
+        return model.apply(
+            v, b, deterministic=True, use_running_average=False,
+            mutable=["batch_stats"],
+        )
+
+    o_row, s_row = fwd(bd)  # row path (enc_row_weight present)
+    o_edge, s_edge = fwd(bd.replace(enc_row_weight=None))  # edge path
+    m = np.asarray(bd.node_mask)
+    np.testing.assert_allclose(
+        np.asarray(o_row)[m], np.asarray(o_edge)[m], rtol=1e-5, atol=1e-5
+    )
+    # updated batch statistics agree too (weighted == per-edge stats)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+        ),
+        s_row["batch_stats"], s_edge["batch_stats"],
+    )
