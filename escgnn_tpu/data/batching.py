@@ -523,6 +523,45 @@ def pad_and_batch(graphs: Sequence[GraphData], spec: BatchSpec) -> GraphBatch:
     )
 
 
+# fixed coefficients for the row-hash dedup (any odd constants work; the
+# hash only routes rows into np.unique — exactness comes from the verify)
+_HASH_SEED = np.random.default_rng(0x5CE5).integers(
+    1, 2**62, size=4096, dtype=np.int64
+) | 1
+
+
+def _unique_rows(both: np.ndarray):
+    """Deduplicate rows of a 2-D integer array -> (unique_rows, inverse).
+
+    np.unique(axis=0) lexsorts with void comparisons (~360 ms at ZINC
+    batch shapes, vs a ~3 ms device step). Instead: hash rows with a
+    vectorized int64 dot (wrapping multiply-add), unique the 1-D hashes
+    (~2 ms radix-friendly sort), and VERIFY exactly by materializing
+    uniq[inverse] — on the astronomically unlikely 63-bit collision the
+    exact dict walk runs instead, so the result is always correct."""
+    E, C = both.shape
+    h = both.astype(np.int64, copy=False) @ _HASH_SEED[:C]
+    _, first_idx, inv = np.unique(h, return_index=True, return_inverse=True)
+    uniq = both[first_idx]
+    if np.array_equal(uniq[inv], both):
+        return uniq, inv
+    # hash collision: exact fallback
+    row_sz = C * both.dtype.itemsize
+    buf = both.tobytes()
+    seen: dict = {}
+    inv = np.empty(E, np.int64)
+    first_rows = []
+    for e in range(E):
+        k = buf[e * row_sz:(e + 1) * row_sz]
+        i = seen.get(k)
+        if i is None:
+            i = len(first_rows)
+            seen[k] = i
+            first_rows.append(e)
+        inv[e] = i
+    return both[np.asarray(first_rows, np.int64)], inv
+
+
 def _batch_encoding(graphs, perms, edge_off, spec: BatchSpec) -> dict:
     """Width layout: (E, P) rows. Flat layout: edge-sorted COO entries."""
     E = spec.num_edges
@@ -562,8 +601,10 @@ def _batch_encoding(graphs, perms, edge_off, spec: BatchSpec) -> dict:
             # all-zero rows dedup into one zero row whose weighted sum is
             # exactly 0, so no special-casing is needed downstream.
             R = spec.num_enc_rows
-            both = np.concatenate([enc_idx, enc_cnt], axis=1)
-            uniq, inv = np.unique(both, axis=0, return_inverse=True)
+            both = np.ascontiguousarray(
+                np.concatenate([enc_idx, enc_cnt], axis=1)
+            )
+            uniq, inv = _unique_rows(both)
             assert len(uniq) <= R, (len(uniq), R)
             u_idx = np.zeros((R, W), _ENC_DTYPE)
             u_cnt = np.zeros((R, W), _ENC_DTYPE)

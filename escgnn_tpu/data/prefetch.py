@@ -66,3 +66,20 @@ def prefetched_batches(
     t.join()
     if err:
         raise err[0]
+
+
+def materialized_batches(
+    graphs: Sequence[GraphData],
+    spec: BatchSpec,
+) -> list:
+    """Pad + device-put a FIXED set of graphs once and return the batch
+    list for reuse across epochs. Evaluation sets never reshuffle, so
+    re-padding them every epoch only burns host time (the dedup layout's
+    collation is ~65 ms/batch on 2 cores — comparable to a whole device
+    step); with the batches cached, eval costs device time only."""
+    import jax
+    import jax.numpy as jnp
+
+    return [
+        jax.tree.map(jnp.asarray, b) for b in batch_iterator(graphs, spec)
+    ]

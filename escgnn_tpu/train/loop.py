@@ -252,14 +252,33 @@ def make_bn_refresh_step(model):
 
 
 def refresh_bn_stats(refresh_step, state: TrainState, batches) -> TrainState:
-    """Refresh BN running stats over `batches` (host iterable of
+    """Re-estimate BN running stats over `batches` (host iterable of
     GraphBatch) using a jitted step from `make_bn_refresh_step` (create
     it ONCE per model so the jit cache is reused); returns the state
-    with updated batch_stats."""
-    stats = state.batch_stats
+    with updated batch_stats.
+
+    The returned statistics are the EXACT average of the per-batch
+    statistics, not a momentum EMA: each refresh forward runs from the
+    same baseline stats, the per-batch moments are recovered from the
+    momentum-0.1 update algebraically (m_b = 10*new - 9*old), and
+    averaged. A momentum walk over K batches would keep 0.9^K of the
+    stale values (with the former 2-batch refresh, 81% stale — measured
+    ~0.08 vs ~0.03 MAE on the 1000-epoch counting run)."""
+    import jax
+
+    base = state.batch_stats
+    acc = None
+    n = 0
     for b in batches:
-        stats = refresh_step(stats, state.params, b)
-    return state.replace(batch_stats=stats)
+        new = refresh_step(base, state.params, b)
+        mb = jax.tree.map(lambda nw, od: 10.0 * nw - 9.0 * od, new, base)
+        acc = mb if acc is None else jax.tree.map(jnp.add, acc, mb)
+        n += 1
+    if n == 0:
+        return state
+    return state.replace(
+        batch_stats=jax.tree.map(lambda a: a / n, acc)
+    )
 
 
 def make_eval_step(model, node_level: bool = True, bn_mode: str = "running"):

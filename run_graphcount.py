@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from escgnn_tpu.data.batching import BatchSpec, batch_iterator
-from escgnn_tpu.data.prefetch import prefetched_batches
+from escgnn_tpu.data.prefetch import materialized_batches, prefetched_batches
 from escgnn_tpu.data.counting import (
     CountingDatasetConfig,
     generate_counting_graphs,
@@ -131,7 +131,13 @@ def main():
           f"mean={mean:.3f} std={std:.3f}")
 
     all_graphs = [g for s in splits.values() for g in s]
-    spec = BatchSpec.from_graphs(all_graphs, batch_size=args.batch_size)
+    # uniform per-graph blocks + dedup ESC rows: the fast layout the
+    # flagship bench uses (einsum message passing on the MXU, z-emb
+    # reduce on unique histogram rows) — numerically equal to the
+    # width layout (tests/test_zemb_dedup.py, tests/test_model.py)
+    spec = BatchSpec.uniform(
+        all_graphs, args.batch_size, enc_layout="dedup"
+    )
     print(f"batch spec: {spec}")
 
     mcfg = NestedGINEffConfig(
@@ -168,9 +174,16 @@ def main():
 
     ckpt = CheckpointManager(os.path.join(res_dir, "ckpt"), max_to_keep=3)
 
-    def evaluate(state, graphs):
+    # eval/refresh sets never reshuffle: pad + device-put them once
+    val_batches = materialized_batches(splits["val"], spec)
+    test_batches = materialized_batches(splits["test"], spec)
+    refresh_batches = materialized_batches(
+        splits["train"][: 8 * args.batch_size], spec
+    )
+
+    def evaluate(state, batches):
         tot, cnt = 0.0, 0.0
-        for b in prefetched_batches(graphs, spec):
+        for b in batches:
             e, c = eval_step(state.params, state.batch_stats, b)
             tot += float(e)
             cnt += float(c)
@@ -192,13 +205,8 @@ def main():
         if args.bn_eval == "running":
             # re-estimate BN running stats with frozen params before eval
             # (see make_bn_refresh_step)
-            state = refresh_bn_stats(
-                bn_refresh, state,
-                prefetched_batches(
-                    splits["train"][: 2 * args.batch_size], spec
-                ),
-            )
-        val_mae = evaluate(state, splits["val"])
+            state = refresh_bn_stats(bn_refresh, state, refresh_batches)
+        val_mae = evaluate(state, val_batches)
         lr = get_learning_rate(state)
         new_lr = sched.step(val_mae, lr)
         if new_lr != lr:
@@ -209,7 +217,7 @@ def main():
         )
         if val_mae < best_val:
             best_val = val_mae
-            best_test = evaluate(state, splits["test"])
+            best_test = evaluate(state, test_batches)
             line += f" test MAE {best_test:.5f} *"
             ckpt.save(
                 epoch,
@@ -235,7 +243,7 @@ def main():
             )
 
         errs: dict[int, list] = {}
-        for b in prefetched_batches(splits["test"], spec):
+        for b in test_batches:
             out = np.asarray(
                 predict(state.params, state.batch_stats, b)
             )[:, 0] * std + mean

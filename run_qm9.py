@@ -86,7 +86,7 @@ def main():
     import jax.numpy as jnp
 
     from escgnn_tpu.data.batching import BatchSpec, batch_iterator
-    from escgnn_tpu.data.prefetch import prefetched_batches
+    from escgnn_tpu.data.prefetch import materialized_batches, prefetched_batches
     from escgnn_tpu.models.nested_gin_eff import NestedGINEff, NestedGINEffConfig
     from escgnn_tpu.train.loop import (
         PlateauScheduler,
@@ -101,7 +101,13 @@ def main():
 )
 
     all_graphs = [g for s in splits.values() for g in s]
-    spec = BatchSpec.from_graphs(all_graphs, batch_size=args.batch_size)
+    # uniform per-graph blocks + dedup ESC rows: the fast layout the
+    # flagship bench uses (einsum message passing on the MXU, z-emb
+    # reduce on unique histogram rows) — numerically equal to the
+    # width layout (tests/test_zemb_dedup.py, tests/test_model.py)
+    spec = BatchSpec.uniform(
+        all_graphs, args.batch_size, enc_layout="dedup"
+    )
     print("spec:", spec)
 
     model = NestedGINEff(
@@ -142,9 +148,16 @@ def main():
                              patience=args.patience)
     conv = float(QM9_CONVERSION[t])
 
-    def evaluate(graphs):
+    # eval/refresh sets never reshuffle: pad + device-put them once
+    val_batches = materialized_batches(splits["val"], spec)
+    test_batches = materialized_batches(splits["test"], spec)
+    refresh_batches = materialized_batches(
+        splits["train"][: 8 * args.batch_size], spec
+    )
+
+    def evaluate(batches):
         tot = cnt = 0.0
-        for b in prefetched_batches(graphs, spec):
+        for b in batches:
             e, c = eval_step(state.params, state.batch_stats, b)
             tot += float(e)
             cnt += float(c)
@@ -162,13 +175,8 @@ def main():
             losses.append(loss)
         if args.bn_eval == "running":
             # re-estimate BN running stats with frozen params before eval
-            state = refresh_bn_stats(
-                bn_refresh, state,
-                prefetched_batches(
-                    splits["train"][: 2 * args.batch_size], spec
-                ),
-            )
-        val_mae = evaluate(splits["val"])
+            state = refresh_bn_stats(bn_refresh, state, refresh_batches)
+        val_mae = evaluate(val_batches)
         lr = get_learning_rate(state)
         new_lr = sched.step(val_mae, lr)
         if new_lr != lr:
@@ -180,7 +188,7 @@ def main():
         )
         if val_mae < best_val:
             best_val = val_mae
-            best_test = evaluate(splits["test"])
+            best_test = evaluate(test_batches)
             line += f" test MAE {best_test:.5f} *"
         line += f" ({time.time() - t_ep:.1f}s)"
         print(line)
