@@ -264,16 +264,33 @@ def _distinct_row_cap(graphs) -> int:
     on any batch's unique-row count, usually far below
     batch_size x per-graph max (molecule datasets repeat histograms
     heavily). Used to cap num_enc_rows so the z-emb count-matrix build
-    does not run over rows that can never exist."""
-    rows = set()
+    does not run over rows that can never exist.
+
+    Counted via vectorized 63-bit row hashes (a per-edge Python walk took
+    minutes at 5000 graphs). A cross-dataset hash collision (~n^2/2^64)
+    would undercount by one; the batcher's `len(uniq) <= R` assert still
+    catches any real overflow loudly."""
+    seen: set = set()
     for g in graphs:
         if g.enc_offsets is None:
             continue
         off = np.asarray(g.enc_offsets)
-        for e in range(len(off) - 1):
-            i, c = g.enc_row(e)
-            rows.add((i.tobytes(), c.tobytes()))
-    return len(rows)
+        nnz = np.diff(off)
+        n_e = len(nnz)
+        if n_e == 0:
+            continue
+        w = int(nnz.max()) if n_e else 0
+        idxm = np.zeros((n_e, w), np.int64)
+        cntm = np.zeros((n_e, w), np.int64)
+        rows = np.repeat(np.arange(n_e), nnz)
+        cols = np.arange(len(np.asarray(g.enc_idx))) - np.repeat(off[:-1], nnz)
+        idxm[rows, cols] = np.asarray(g.enc_idx)
+        cntm[rows, cols] = np.asarray(g.enc_cnt)
+        # fixed seed split: the cnt seeds must not depend on the
+        # per-graph width, or equal rows from different graphs hash apart
+        h = idxm @ _HASH_SEED[:w] + cntm @ _HASH_SEED[2048:2048 + w]
+        seen.update(h.tolist())
+    return len(seen)
 
 
 def _distinct_bucket_budget(graphs) -> int:

@@ -48,7 +48,9 @@ from escgnn_tpu.train.loop import (
     adam_with_plateau,
     get_learning_rate,
     l1_graph_loss,
+    make_bn_refresh_step,
     make_eval_step,
+    refresh_bn_stats,
     make_train_step,
     set_learning_rate,
 )
@@ -131,6 +133,7 @@ def run_one(cfg, seed: int, out_dir: str) -> dict:
 
     train_step = make_train_step(model, l1_graph_loss)
     eval_step = make_eval_step(model, node_level=False)
+    bn_refresh = make_bn_refresh_step(model)
     sched = PlateauScheduler(
         factor=cfg.optim.lr_decay_factor, patience=cfg.optim.patience,
         min_lr=cfg.optim.min_lr,
@@ -166,6 +169,14 @@ def run_one(cfg, seed: int, out_dir: str) -> dict:
             state, loss = train_step(state, b, sub)
             losses.append(loss)
         if epoch % cfg.train.eval_period == 0:
+            # exact-average re-estimation of BN running stats on frozen
+            # params before eval (see train/loop.py refresh_bn_stats)
+            state = refresh_bn_stats(
+                bn_refresh, state,
+                (jax.tree.map(jnp.asarray, b) for b in batch_iterator(
+                    splits["train"][: 8 * cfg.train.batch_size], spec
+                )),
+            )
             val = evaluate(splits["val"])
             test = evaluate(splits["test"])
             if val < best_val:
