@@ -58,7 +58,7 @@ _IMPL = "countmat"
 
 def set_impl(impl: str):
     global _IMPL
-    assert impl in ("gather", "pallas", "countmat"), impl
+    assert impl in ("gather", "pallas", "countmat", "countmat_pallas"), impl
     _IMPL = impl
 
 
@@ -111,7 +111,49 @@ def zemb_weighted_gather(table, enc_idx, enc_cnt):
     if _IMPL == "countmat":
         # plain autodiff: dT = C^T @ dZ is the transpose matmul, no custom VJP
         return _countmat_reduce(table, enc_idx, enc_cnt)
+    if _IMPL == "countmat_pallas":
+        return _zemb_countmat_pallas_core(table, enc_idx, enc_cnt)
     return _zemb_core(table, enc_idx, enc_cnt)
+
+
+# --- fused Pallas count-matrix impl (dedup/compacted layout shapes) ---
+# forward: one kernel builds the (R, Zc) count tile in VMEM and matmuls
+# against the VMEM-resident active table, ALSO writing C out; backward:
+# dT = C^T @ dU is then a single MXU matmul with no rebuild.
+
+
+@partial(jax.custom_vjp, nondiff_argnums=())
+def _zemb_countmat_pallas_core(table, enc_idx, enc_cnt):
+    from escgnn_tpu.ops.zemb_pallas import zemb_countmat_pallas
+
+    z, _ = zemb_countmat_pallas(table, enc_idx, enc_cnt)
+    return z
+
+
+def _zemb_cmp_fwd(table, enc_idx, enc_cnt):
+    from escgnn_tpu.ops.zemb_pallas import zemb_countmat_pallas
+
+    z, C = zemb_countmat_pallas(table, enc_idx, enc_cnt)
+    return z, (C, table, enc_idx)
+
+
+def _zemb_cmp_bwd(res, dZ):
+    C, table, enc_idx = res
+    mm = _BWD_MATMUL_DTYPE
+    dT = jnp.dot(
+        C.astype(mm).T, dZ.astype(mm), preferred_element_type=jnp.float32
+    ).astype(table.dtype)
+    # dCnt: gather + dot (dead-code-eliminated by XLA unless someone
+    # actually differentiates w.r.t. the counts)
+    rows = jnp.take(table, enc_idx, axis=0)
+    dCnt = jnp.einsum(
+        "rph,rh->rp", rows, dZ, preferred_element_type=jnp.float32
+    )
+    dIdx = np.zeros(enc_idx.shape, jax.dtypes.float0)
+    return dT, dIdx, dCnt
+
+
+_zemb_countmat_pallas_core.defvjp(_zemb_cmp_fwd, _zemb_cmp_bwd)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=())

@@ -28,6 +28,15 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# interpret-mode switch for CPU tests of the custom_vjp wrapper in
+# ops/zemb.py (which cannot thread a per-call flag through custom_vjp)
+_INTERPRET = False
+
+
+def set_interpret(v: bool):
+    global _INTERPRET
+    _INTERPRET = v
+
 
 def _kernel(idx_ref, cnt_ref, table_ref, out_ref, *, block_e: int, width: int):
     # Mosaic has no general row-gather (dynamic_gather wants equal
@@ -73,6 +82,71 @@ def zemb_pallas(table, enc_idx, enc_cnt, block_e: int = 128,
         ],
         out_specs=pl.BlockSpec((block_e, H), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(
+        enc_idx.astype(jnp.int32),
+        enc_cnt.astype(jnp.float32),
+        table.astype(jnp.float32),
+    )
+
+
+def _countmat_kernel(idx_ref, cnt_ref, table_ref, out_ref, c_ref,
+                     *, block_r: int):
+    """Fused count-matrix build + matmul over a row tile; also writes the
+    C tile so the table backward is one XLA matmul (dT = C^T @ dU)."""
+    idx = idx_ref[:]  # (BR, P) int32
+    cnt = cnt_ref[:]  # (BR, P) f32
+    P = idx.shape[1]
+    Z = table_ref.shape[0]
+
+    iota_z = jax.lax.broadcasted_iota(jnp.int32, (block_r, Z), 1)
+    C = jnp.zeros((block_r, Z), jnp.float32)
+    for p in range(P):  # static unroll; P is small (<= ~72)
+        hit = iota_z == idx[:, p][:, None]
+        C = C + jnp.where(hit, cnt[:, p][:, None], 0.0)
+    c_ref[:] = C
+    out_ref[:] = jnp.dot(
+        C.astype(jnp.bfloat16), table_ref[:].astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def zemb_countmat_pallas(table, enc_idx, enc_cnt, block_r: int = 128,
+                         interpret=None):
+    """Count-matrix z-emb reduce for the dedup+compacted layout:
+    (R, P) idx/cnt + (Zc, H) active table -> ((R, H) f32, (R, Zc) f32 C).
+
+    Built for SMALL Zc (bucket compaction): the whole active table and a
+    (block_r, Zc) C tile live in VMEM; the C build is P compare-
+    accumulate passes (VPU) and the reduce is one MXU matmul per tile.
+    The returned C makes the table backward a single transposed matmul
+    (see ops/zemb.py impl "countmat_pallas").
+    """
+    if interpret is None:
+        interpret = _INTERPRET
+    R, P = enc_idx.shape
+    Z, H = table.shape
+    assert R % block_r == 0, (R, block_r)
+    return pl.pallas_call(
+        functools.partial(_countmat_kernel, block_r=block_r),
+        out_shape=(
+            jax.ShapeDtypeStruct((R, H), jnp.float32),
+            jax.ShapeDtypeStruct((R, Z), jnp.float32),
+        ),
+        grid=(R // block_r,),
+        in_specs=[
+            pl.BlockSpec((block_r, P), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_r, P), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Z, H), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((block_r, H), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_r, Z), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
         interpret=interpret,
     )(
         enc_idx.astype(jnp.int32),
