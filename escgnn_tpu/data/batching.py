@@ -635,11 +635,15 @@ def _batch_encoding(graphs, perms, edge_off, spec: BatchSpec) -> dict:
             for i in range(len(graphs)):
                 emask[edge_off[i]:edge_off[i] + len(perms[i])] = True
             weight = np.bincount(inv[emask], minlength=R).astype(np.float32)
+            # sorted-CSR view for the expansion backward (see container)
+            perm = np.argsort(inv, kind="stable").astype(np.int32)
             out = {
                 "enc_idx": u_idx,
                 "enc_cnt": u_cnt,
                 "enc_edge_row": inv.astype(np.int32),
                 "enc_row_weight": weight,
+                "enc_edge_perm": perm,
+                "enc_row_sorted": inv[perm].astype(np.int32),
             }
             if spec.num_enc_buckets > 0:
                 # bucket compaction: remap ids to the batch's active set;

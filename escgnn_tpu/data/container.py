@@ -109,6 +109,12 @@ class GraphBatch(struct.PyTreeNode):
     # the exact weights that make batch-norm statistics over rows equal
     # statistics over edges (padding edges/rows carry weight 0)
     enc_row_weight: Optional[Any] = None
+    # dedup layout: stable argsort of enc_edge_row (E,) int32 and the row
+    # ids in that order — the sorted-CSR view that lets the row->edge
+    # expansion backward run as a Pallas tiled one-hot matmul segment-sum
+    # instead of XLA's serial scatter-add (ops/zemb.py expand_rows)
+    enc_edge_perm: Optional[Any] = None
+    enc_row_sorted: Optional[Any] = None
     # bucket compaction (dedup layout): enc_idx is remapped into
     # [0, len(enc_bucket_ids)) and this maps compact slots back to
     # embedding-table rows (spec.num_enc_buckets)

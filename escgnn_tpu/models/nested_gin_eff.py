@@ -27,7 +27,11 @@ from flax import linen as nn
 from escgnn_tpu.data.container import GraphBatch
 from escgnn_tpu.models.layers import MLP, MaskedBatchNorm, TorchDense, TorchEmbed
 from escgnn_tpu.ops.segment import pool_nodes_to_graphs
-from escgnn_tpu.ops.zemb import zemb_from_batch, zemb_unique_rows
+from escgnn_tpu.ops.zemb import (
+    expand_rows,
+    zemb_from_batch,
+    zemb_unique_rows,
+)
 from escgnn_tpu.models.layers import GINEConv
 
 
@@ -119,7 +123,7 @@ class NestedGINEff(nn.Module):
             # so the whole z pipeline shrinks accordingly. Dropout would
             # correlate edges sharing a row, hence the dropout == 0 gate.
             u = z_mlp(u, batch.enc_row_weight, **kw)
-            z_emb = jnp.take(u, batch.enc_edge_row, axis=0)
+            z_emb = expand_rows(u, batch)
         else:
             z_emb = zemb_from_batch(z_table, batch)
             z_emb = z_mlp(z_emb, edge_mask, **kw)

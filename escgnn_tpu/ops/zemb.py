@@ -254,6 +254,57 @@ def zemb_unique_rows(table, batch):
     return zemb_weighted_gather(table, batch.enc_idx, batch.enc_cnt)
 
 
+# VMEM budget for the expansion-backward kernel's resident (R, H) f32
+# accumulator; above this the XLA scatter transpose runs instead
+_EXPAND_KERNEL_VMEM_BYTES = 6 * 2**20
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _expand_rows_core(u, edge_row, perm, rows_sorted, num_rows):
+    return jnp.take(u, edge_row, axis=0)
+
+
+def _expand_fwd(u, edge_row, perm, rows_sorted, num_rows):
+    return jnp.take(u, edge_row, axis=0), (perm, rows_sorted)
+
+
+def _expand_bwd(num_rows, res, dZ):
+    perm, rows_sorted = res
+    from escgnn_tpu.ops.expand_pallas import sorted_segment_sum_pallas
+
+    dU = sorted_segment_sum_pallas(
+        jnp.take(dZ, perm, axis=0), rows_sorted, num_rows
+    )
+    int_zero = lambda a: np.zeros(a.shape, jax.dtypes.float0)
+    return dU, int_zero(perm), int_zero(perm), int_zero(rows_sorted)
+
+
+_expand_rows_core.defvjp(_expand_fwd, _expand_bwd)
+
+
+def expand_rows(u, batch):
+    """Expand unique-row values (R, H) to edges (E, H) via
+    `batch.enc_edge_row`. Forward is one take; backward is the Pallas
+    sorted-segment-sum (see ops/expand_pallas.py) when the batch carries
+    the sorted-CSR view and the row accumulator fits VMEM, else XLA's
+    scatter transpose."""
+    from escgnn_tpu.ops import expand_pallas
+
+    R, H = u.shape
+    use_kernel = (
+        getattr(batch, "enc_edge_perm", None) is not None
+        and (R + 136) * H * 4 <= _EXPAND_KERNEL_VMEM_BYTES
+        and batch.enc_edge_perm.shape[0] % 128 == 0
+        and (jax.default_backend() == "tpu" or expand_pallas._INTERPRET)
+    )
+    if use_kernel:
+        return _expand_rows_core(
+            u, batch.enc_edge_row, batch.enc_edge_perm,
+            batch.enc_row_sorted, R,
+        )
+    return jnp.take(u, batch.enc_edge_row, axis=0)
+
+
 def zemb_from_batch(table, batch):
     """Dispatch on the batch's encoding layout.
 
@@ -264,7 +315,7 @@ def zemb_from_batch(table, batch):
     train step)."""
     u = zemb_unique_rows(table, batch)
     if u is not None:
-        return jnp.take(u, batch.enc_edge_row, axis=0)
+        return expand_rows(u, batch)
     if getattr(batch, "enc_flat_idx", None) is not None:
         return zemb_weighted_flat(
             table, batch.enc_flat_idx, batch.enc_flat_cnt,

@@ -184,3 +184,43 @@ def test_row_mlp_path_matches_edge_path_training(rng):
         ),
         s_row["batch_stats"], s_edge["batch_stats"],
     )
+
+
+def test_expand_rows_backward_matches_scatter(rng):
+    """The Pallas sorted-segment-sum expansion backward must equal XLA's
+    scatter transpose of the take (interpret mode on CPU)."""
+    from escgnn_tpu.ops import expand_pallas
+    from escgnn_tpu.ops.zemb import expand_rows
+
+    graphs = _graphs(rng)
+    sd = BatchSpec.from_graphs(graphs, batch_size=3, enc_layout="dedup")
+    bd = jax.tree.map(jnp.asarray, pad_and_batch(graphs, sd))
+    assert bd.enc_edge_perm is not None
+    # sorted view sanity: perm sorts the row ids, ids dense from 0
+    rs = np.asarray(bd.enc_row_sorted)
+    assert (np.diff(rs) >= 0).all()
+    er = np.asarray(bd.enc_edge_row)
+    np.testing.assert_array_equal(np.sort(er), rs)
+
+    R = int(sd.num_enc_rows)
+    E = er.shape[0]
+    u = jnp.asarray(rng.normal(size=(R, 16)).astype(np.float32))
+    co = jnp.asarray(rng.normal(size=(E, 16)).astype(np.float32))
+
+    def loss_kernel(u):
+        return jnp.sum(expand_rows(u, bd) * co)
+
+    def loss_take(u):
+        return jnp.sum(jnp.take(u, bd.enc_edge_row, axis=0) * co)
+
+    expand_pallas.set_interpret(True)
+    try:
+        g_k = np.asarray(jax.grad(loss_kernel)(u))
+    finally:
+        expand_pallas.set_interpret(False)
+    g_t = np.asarray(jax.grad(loss_take)(u))
+    # bf16 matmul in the kernel: rounding-level agreement
+    a, b = g_k.ravel(), g_t.ravel()
+    cos = a.dot(b) / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12)
+    assert cos > 0.999, cos
+    assert np.linalg.norm(a - b) / (np.linalg.norm(b) + 1e-12) < 0.02
