@@ -51,9 +51,14 @@ def load_planar_sat(name: str = "EXP", root: str = "data") -> list[GraphData]:
     """Load `<root>/<name>/raw/<name>.pkl` (the reference's artifact
     layout) into GraphData records: x = (n, 1) small category ids,
     y = (1,) int64 in {0, 1}."""
+    # the reference stores the EXP dataset under its raw name GRAPHSAT
+    # (PlanarSATPairsDataset.py NAME = "GRAPHSAT")
+    raw_name = "GRAPHSAT" if name == "EXP" else name
     candidates = [
         os.path.join(root, name, "raw", f"{name}.pkl"),
         os.path.join(root, "EXP", "raw", f"{name}.pkl"),
+        os.path.join(root, name, "raw", f"{raw_name}.pkl"),
+        os.path.join(root, "EXP", "raw", f"{raw_name}.pkl"),
     ]
     path = next((p for p in candidates if os.path.exists(p)), None)
     if path is None:
@@ -65,10 +70,12 @@ def load_planar_sat(name: str = "EXP", root: str = "data") -> list[GraphData]:
     out = []
     for d in payload:
         attrs = d.__dict__ if hasattr(d, "__dict__") else d
-        # PyG >= 2 stores attributes under _store
+        # PyG >= 2 stores attributes under _store (whose payload dict is
+        # _mapping in 2.x)
         for k in ("_store", "store"):
             if k in attrs and hasattr(attrs[k], "__dict__"):
-                attrs = {**attrs, **attrs[k].__dict__}
+                inner = attrs[k].__dict__
+                attrs = {**attrs, **inner, **inner.get("_mapping", {})}
         ei = _to_numpy(attrs["edge_index"]).astype(np.int32)
         x = _to_numpy(attrs.get("x"))
         y = _to_numpy(attrs.get("y"))
