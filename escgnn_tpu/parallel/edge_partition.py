@@ -65,6 +65,10 @@ def batch_shardings(batch: GraphBatch, mesh: Mesh, axis: str = "model"):
 
 
 def shard_batch_by_edges(batch: GraphBatch, mesh: Mesh, axis: str = "model"):
+    # drop the sorted-CSR expansion view: its Pallas backward kernel
+    # assumes an unpartitioned edge axis (ops/zemb.py expand_rows); the
+    # GSPMD path uses XLA's take/scatter transpose instead
+    batch = batch.replace(enc_edge_perm=None, enc_row_sorted=None)
     shardings = batch_shardings(batch, mesh, axis)
     return jax.tree.map(
         lambda x, s: jax.device_put(jnp.asarray(x), s), batch, shardings
