@@ -107,6 +107,11 @@ DEFAULTS = {
         "attn_dropout": 0.0,
         "local_model": "gine",  # gine | gatedgcn | pna
         "global_model": "transformer",  # transformer | linear | bigbird
+        "pna_towers": 4,
+        "avg_deg_log": 0.0,  # 0 -> computed from the train split (pna)
+        "bigbird_window": 3,
+        "bigbird_global": 2,
+        "bigbird_random": 2,
         "use_esc": True,
         "use_attn_bias": True,
         "use_lap_pe": False,

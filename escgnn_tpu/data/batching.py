@@ -226,13 +226,7 @@ def _graph_stats(g: GraphData) -> dict:
         nnz = np.diff(np.asarray(g.enc_offsets))
         s["enc_w"] = int(nnz.max()) if nnz.size else 0
         s["enc_nnz"] = int(nnz.sum())
-        off = np.asarray(g.enc_offsets)
-        rows = {
-            tuple(np.asarray(g.enc_idx[off[e]:off[e + 1]]).tolist()
-                  + np.asarray(g.enc_cnt[off[e]:off[e + 1]]).tolist())
-            for e in range(len(nnz))
-        }
-        s["enc_rows"] = len(rows)
+        s["enc_rows"] = len(np.unique(_graph_row_hashes(g)))
     for k in (2, 3):
         if f"num_kset{k}" in ex:
             s[f"kset{k}"] = int(ex[f"num_kset{k}"])
@@ -267,30 +261,38 @@ def _distinct_row_cap(graphs) -> int:
     does not run over rows that can never exist.
 
     Counted via vectorized 63-bit row hashes (a per-edge Python walk took
-    minutes at 5000 graphs). A cross-dataset hash collision (~n^2/2^64)
-    would undercount by one; the batcher's `len(uniq) <= R` assert still
-    catches any real overflow loudly."""
+    ~0.4 s/1500 graphs and scaled linearly). A cross-dataset hash
+    collision (~n^2/2^64) would undercount by one; the batcher's
+    `len(uniq) <= R` assert still catches any real overflow loudly."""
     seen: set = set()
     for g in graphs:
-        if g.enc_offsets is None:
-            continue
-        off = np.asarray(g.enc_offsets)
-        nnz = np.diff(off)
-        n_e = len(nnz)
-        if n_e == 0:
-            continue
-        w = int(nnz.max()) if n_e else 0
-        idxm = np.zeros((n_e, w), np.int64)
-        cntm = np.zeros((n_e, w), np.int64)
-        rows = np.repeat(np.arange(n_e), nnz)
-        cols = np.arange(len(np.asarray(g.enc_idx))) - np.repeat(off[:-1], nnz)
-        idxm[rows, cols] = np.asarray(g.enc_idx)
-        cntm[rows, cols] = np.asarray(g.enc_cnt)
-        # fixed seed split: the cnt seeds must not depend on the
-        # per-graph width, or equal rows from different graphs hash apart
-        h = idxm @ _HASH_SEED[:w] + cntm @ _HASH_SEED[2048:2048 + w]
-        seen.update(h.tolist())
+        h = _graph_row_hashes(g)
+        if h is not None:
+            seen.update(h.tolist())
     return len(seen)
+
+
+def _graph_row_hashes(g) -> "np.ndarray | None":
+    """63-bit hash per encoding row of one graph — the shared primitive
+    behind per-graph unique-row stats and the dataset-wide row cap. Rows
+    with equal (idx, cnt) content hash equally regardless of per-graph
+    width (zero padding contributes 0; the cnt seeds use a fixed offset
+    so they never overlap the idx seeds)."""
+    if g.enc_offsets is None:
+        return None
+    off = np.asarray(g.enc_offsets)
+    nnz = np.diff(off)
+    n_e = len(nnz)
+    if n_e == 0:
+        return None
+    w = int(nnz.max()) if n_e else 0
+    idxm = np.zeros((n_e, w), np.int64)
+    cntm = np.zeros((n_e, w), np.int64)
+    rows = np.repeat(np.arange(n_e), nnz)
+    cols = np.arange(len(np.asarray(g.enc_idx))) - np.repeat(off[:-1], nnz)
+    idxm[rows, cols] = np.asarray(g.enc_idx)
+    cntm[rows, cols] = np.asarray(g.enc_cnt)
+    return idxm @ _HASH_SEED[:w] + cntm @ _HASH_SEED[2048:2048 + w]
 
 
 def _distinct_bucket_budget(graphs) -> int:

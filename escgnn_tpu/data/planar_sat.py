@@ -51,14 +51,16 @@ def load_planar_sat(name: str = "EXP", root: str = "data") -> list[GraphData]:
     """Load `<root>/<name>/raw/<name>.pkl` (the reference's artifact
     layout) into GraphData records: x = (n, 1) small category ids,
     y = (1,) int64 in {0, 1}."""
-    # the reference stores the EXP dataset under its raw name GRAPHSAT
-    # (PlanarSATPairsDataset.py NAME = "GRAPHSAT")
-    raw_name = "GRAPHSAT" if name == "EXP" else name
+    # the reference stores BOTH datasets under the raw name GRAPHSAT in
+    # their own roots (PlanarSATPairsDataset.py NAME = "GRAPHSAT", root =
+    # data/EXP or data/CEXP); this repo ships them as
+    # data/EXP/raw/{GRAPHSAT,CEXP}.pkl
     candidates = [
         os.path.join(root, name, "raw", f"{name}.pkl"),
         os.path.join(root, "EXP", "raw", f"{name}.pkl"),
-        os.path.join(root, name, "raw", f"{raw_name}.pkl"),
-        os.path.join(root, "EXP", "raw", f"{raw_name}.pkl"),
+        os.path.join(root, name, "raw", "GRAPHSAT.pkl"),
+        os.path.join(root, "EXP", "raw", "GRAPHSAT.pkl") if name == "EXP"
+        else os.path.join(root, "CEXP", "raw", "GRAPHSAT.pkl"),
     ]
     path = next((p for p in candidates if os.path.exists(p)), None)
     if path is None:

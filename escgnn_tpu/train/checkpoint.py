@@ -43,3 +43,29 @@ class CheckpointManager:
 
     def latest_step(self):
         return self._mgr.latest_step()
+
+
+def restore_train_state(ckpt: CheckpointManager, state, step=None):
+    """Restore a TrainState, tolerating optimizer-format drift.
+
+    Exact template restore when the on-disk tree matches; otherwise
+    (e.g. checkpoints written before the optax.flatten optimizer change)
+    fall back to restoring the raw tree and grafting params/batch_stats/
+    step onto the given state — the optimizer moments restart, which is
+    the standard degradation for cross-format resume."""
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        return ckpt.restore(step, template=state)
+    except Exception:
+        raw = ckpt.restore(step)
+        if raw is None:
+            return None
+        kw = {}
+        for field in ("params", "batch_stats"):
+            if field in raw:
+                kw[field] = jax.tree.map(jnp.asarray, raw[field])
+        if "step" in raw:
+            kw["step"] = jnp.asarray(raw["step"])
+        return state.replace(**kw)

@@ -41,7 +41,10 @@ from escgnn_tpu.featurize.posenc import (
 from escgnn_tpu.featurize.spd import attach_attn_bias
 from escgnn_tpu.featurize.transform import featurize_many
 from escgnn_tpu.models.gps import GPSConfig, GPSModel
-from escgnn_tpu.train.checkpoint import CheckpointManager
+from escgnn_tpu.train.checkpoint import (
+    CheckpointManager,
+    restore_train_state,
+)
 from escgnn_tpu.train.loop import (
     PlateauScheduler,
     TrainState,
@@ -102,13 +105,36 @@ def build_dataset(cfg, seed: int):
     return splits, mean, std
 
 
-def run_one(cfg, seed: int, out_dir: str) -> dict:
-    splits, mean, std = build_dataset(cfg, seed)
-    all_graphs = [g for s in splits.values() for g in s]
-    spec = BatchSpec.from_graphs(all_graphs, batch_size=cfg.train.batch_size)
+def _avg_deg_log(graphs) -> float:
+    """E[log(1 + deg)] over the training graphs — the PNA scaler
+    normalizer the reference derives from a degree histogram
+    (run_ogb_mol.py:377-387)."""
+    import numpy as np
 
+    logs = []
+    for g in graphs:
+        deg = np.bincount(
+            np.asarray(g.edge_index[1]), minlength=g.num_nodes
+        )[: g.num_nodes]
+        logs.append(np.log1p(deg))
+    v = float(np.mean(np.concatenate(logs))) if logs else 1.0
+    return max(v, 1e-3)
+
+
+def _gps_config(cfg, splits) -> GPSConfig:
     m = cfg.model
-    model = GPSModel(GPSConfig(
+    kw = {}
+    for k in ("pna_towers", "avg_deg_log", "bigbird_window",
+              "bigbird_global", "bigbird_random"):
+        if hasattr(m, k):
+            kw[k] = getattr(m, k)
+    if kw.get("avg_deg_log", 0.0) == 0.0:
+        # 0 = sentinel: derive E[log(1+deg)] from the train split
+        if m.local_model == "pna":
+            kw["avg_deg_log"] = _avg_deg_log(splits["train"])
+        else:
+            kw.pop("avg_deg_log", None)
+    return GPSConfig(
         dim_h=m.dim_h, num_layers=m.num_layers, num_heads=m.num_heads,
         dropout=m.dropout, attn_dropout=m.attn_dropout,
         local_model=m.local_model, global_model=m.global_model,
@@ -116,7 +142,16 @@ def run_one(cfg, seed: int, out_dir: str) -> dict:
         use_lap_pe=m.use_lap_pe, use_rwse=m.use_rwse,
         use_degree=m.use_degree, pool=m.pool, out_dim=m.out_dim,
         node_vocab=m.node_vocab, edge_vocab=m.edge_vocab,
-    ))
+        **kw,
+    )
+
+
+def run_one(cfg, seed: int, out_dir: str) -> dict:
+    splits, mean, std = build_dataset(cfg, seed)
+    all_graphs = [g for s in splits.values() for g in s]
+    spec = BatchSpec.from_graphs(all_graphs, batch_size=cfg.train.batch_size)
+
+    model = GPSModel(_gps_config(cfg, splits))
     rng = jax.random.key(seed)
     init_b = jax.tree.map(
         jnp.asarray, next(batch_iterator(splits["train"][:2], spec))
@@ -142,7 +177,7 @@ def run_one(cfg, seed: int, out_dir: str) -> dict:
 
     start_epoch = 1
     if cfg.train.auto_resume and ckpt.latest_step() is not None:
-        state = ckpt.restore(template=state)
+        state = restore_train_state(ckpt, state)
         start_epoch = int(state.step) // max(
             1, len(splits["train"]) // cfg.train.batch_size
         ) + 1
@@ -207,16 +242,7 @@ def run_eval_only(cfg, ckpt_dir: str):
     splits, mean, std = build_dataset(cfg, cfg.seed)
     all_graphs = [g for s in splits.values() for g in s]
     spec = BatchSpec.from_graphs(all_graphs, batch_size=cfg.train.batch_size)
-    m = cfg.model
-    model = GPSModel(GPSConfig(
-        dim_h=m.dim_h, num_layers=m.num_layers, num_heads=m.num_heads,
-        dropout=m.dropout, attn_dropout=m.attn_dropout,
-        local_model=m.local_model, global_model=m.global_model,
-        use_esc=m.use_esc, use_attn_bias=m.use_attn_bias,
-        use_lap_pe=m.use_lap_pe, use_rwse=m.use_rwse,
-        use_degree=m.use_degree, pool=m.pool, out_dim=m.out_dim,
-        node_vocab=m.node_vocab, edge_vocab=m.edge_vocab,
-    ))
+    model = GPSModel(_gps_config(cfg, splits))
     init_b = jax.tree.map(
         jnp.asarray, next(batch_iterator(splits["train"][:2], spec))
     )
@@ -226,7 +252,7 @@ def run_eval_only(cfg, ckpt_dir: str):
         adam_with_plateau(cfg.optim.base_lr),
     )
     ckpt = CheckpointManager(ckpt_dir)
-    state = ckpt.restore(template=state)
+    state = restore_train_state(ckpt, state)
     eval_step = make_eval_step(model, node_level=False)
 
     def evaluate(graphs):

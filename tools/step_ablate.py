@@ -84,31 +84,46 @@ def main():
         # state stays in the step
         return jnp.zeros((E, table.shape[1]), jnp.float32) + table[0] * 1e-30
 
-    def build(no_agg=False, no_zemb=False):
+    from contextlib import contextmanager
+
+    @contextmanager
+    def patched(no_agg=False, no_zemb=False):
+        # the patches must stay active until the jitted step has TRACED
+        # (first call), not just through model.init — flax resolves the
+        # module-global names at trace time
         orig_conv, orig_zemb = NGE.GINEConv, NGE.zemb_from_batch
+        orig_rows = NGE.zemb_unique_rows
         if no_agg:
             NGE.GINEConv = NoAggGINEConv
         if no_zemb:
             NGE.zemb_from_batch = zemb_stub
+            # dedup batches with dropout==0 take the unique-row path
+            # (zemb_unique_rows + expand_rows), not zemb_from_batch —
+            # returning None forces the model onto the stubbed path
+            NGE.zemb_unique_rows = lambda table, batch: None
         try:
-            model = NGE.NestedGINEff(
-                NGE.NestedGINEffConfig(
-                    hidden=256, num_layers=5, dropout=0.0, act="elu",
-                    graph_pred=True, pool="add", use_x_embedding_jk=False,
-                    head_order="dropout_act", node_embed_vocab=100,
-                    node_embed_dim=32, edge_embed_vocab=100,
-                    edge_embed_dim=32, compute_dtype="bfloat16",
-                )
-            )
-            rng = jax.random.key(0)
-            variables = model.init(rng, batch)
-            state = TrainState.create(
-                variables["params"], variables.get("batch_stats", {}),
-                adam_with_plateau(5e-4),
-            )
-            step = make_train_step(model, l1_graph_loss)
+            yield
         finally:
             NGE.GINEConv, NGE.zemb_from_batch = orig_conv, orig_zemb
+            NGE.zemb_unique_rows = orig_rows
+
+    def build():
+        model = NGE.NestedGINEff(
+            NGE.NestedGINEffConfig(
+                hidden=256, num_layers=5, dropout=0.0, act="elu",
+                graph_pred=True, pool="add", use_x_embedding_jk=False,
+                head_order="dropout_act", node_embed_vocab=100,
+                node_embed_dim=32, edge_embed_vocab=100,
+                edge_embed_dim=32, compute_dtype="bfloat16",
+            )
+        )
+        rng = jax.random.key(0)
+        variables = model.init(rng, batch)
+        state = TrainState.create(
+            variables["params"], variables.get("batch_stats", {}),
+            adam_with_plateau(5e-4),
+        )
+        step = make_train_step(model, l1_graph_loss)
         return model, state, step
 
     def timestep(state, step, iters=50):
@@ -134,8 +149,9 @@ def main():
         ("no_zemb", dict(no_zemb=True)),
         ("no_agg_zemb", dict(no_agg=True, no_zemb=True)),
     ]:
-        model, state, step = build(**kw)
-        dt = timestep(state, step)
+        with patched(**kw):
+            model, state, step = build()
+            dt = timestep(state, step)
         results[name] = dt
         print(f"{name:12s}: {dt * 1e3:7.3f} ms/step   "
               f"({real_edges / dt / 1e6:.2f} M edges/s)", flush=True)
