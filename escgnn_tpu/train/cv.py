@@ -79,6 +79,12 @@ def cross_validation_with_val_set(
     seed: int = 0,
     logger: Optional[Callable[[str], None]] = None,
 ) -> CVResult:
+    if folds < 3:
+        raise ValueError(
+            f"folds={folds}: the val split is the previous test fold "
+            "(reference kernel/train_eval.py k_fold), so at least 3 "
+            "folds are needed for a non-empty train split"
+        )
     labels = np.asarray([int(np.asarray(g.y).reshape(-1)[0]) for g in graphs])
     spec = BatchSpec.from_graphs(list(graphs), batch_size=batch_size)
 
