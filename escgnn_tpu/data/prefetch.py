@@ -89,12 +89,16 @@ class _HostCachedBatches:
     def __len__(self):
         return len(self._batches)
 
-    def __iter__(self):
+    def __getitem__(self, i):
         import jax
         import jax.numpy as jnp
 
-        for b in self._batches:
-            yield b if self._pin else jax.tree.map(jnp.asarray, b)
+        b = self._batches[i]
+        return b if self._pin else jax.tree.map(jnp.asarray, b)
+
+    def __iter__(self):
+        for i in range(len(self._batches)):
+            yield self[i]
 
 
 def materialized_batches(

@@ -193,13 +193,18 @@ def run_one(cfg, seed: int, out_dir: str) -> dict:
         return tot / max(cnt, 1.0)
 
     np_rng = np.random.default_rng(seed)
+    # device-resident train pool, order-shuffled per epoch (the remote
+    # tunnel leaks host RSS on every device_put — see the regression
+    # drivers' train-pool comment)
+    from escgnn_tpu.data.prefetch import materialized_batches
+
+    train_batches = materialized_batches(splits["train"], spec)
     best_val, best_test, best_epoch = float("inf"), float("inf"), -1
     t0 = time.time()
     for epoch in range(start_epoch, cfg.train.epochs + 1):
         losses = []
-        for b in batch_iterator(splits["train"], spec, shuffle=True,
-                                rng=np_rng):
-            b = jax.tree.map(jnp.asarray, b)
+        for i in np_rng.permutation(len(train_batches)):
+            b = train_batches[int(i)]
             rng, sub = jax.random.split(rng)
             state, loss = train_step(state, b, sub)
             losses.append(loss)

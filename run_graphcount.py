@@ -106,6 +106,8 @@ def main():
                    help="conv-stack compute dtype (f32 master params)")
     p.add_argument("--analyze", action="store_true",
                    help="per-count-value MAE breakdown after training")
+    p.add_argument("--reshuffle_membership", action="store_true",
+                   help="re-form train batches every epoch (reference-exact shuffling; leaks host RSS on the remote-tunnel env — see train pool comment)")
     p.add_argument("--bn_eval", default="running",
                    choices=["batch", "running"],
                    help="eval-time BN statistics. 'running' (default) = "
@@ -175,6 +177,13 @@ def main():
     ckpt = CheckpointManager(os.path.join(res_dir, "ckpt"), max_to_keep=3)
 
     # eval/refresh sets never reshuffle: pad + device-put them once
+    # device-resident train batch POOL, iterated in a fresh random ORDER
+    # each epoch. The remote-execution tunnel of this environment leaks
+    # ~1x the transferred bytes in host RSS on every device_put (measured;
+    # a 2000-epoch run OOM-killed a 125 GB host at ~216 MB/epoch), so
+    # per-epoch membership reshuffling is opt-in (--reshuffle_membership:
+    # the reference's exact semantics, fresh transfers each epoch).
+    train_batches = materialized_batches(splits["train"], spec)
     val_batches = materialized_batches(splits["val"], spec)
     test_batches = materialized_batches(splits["test"], spec)
     refresh_batches = materialized_batches(
@@ -195,9 +204,14 @@ def main():
     for epoch in range(1, args.epochs + 1):
         t_ep = time.time()
         losses = []
-        for b in prefetched_batches(
-            splits["train"], spec, shuffle=True, rng=data_rng
-        ):
+        if args.reshuffle_membership:
+            epoch_batches = prefetched_batches(
+                splits["train"], spec, shuffle=True, rng=data_rng
+            )
+        else:
+            order = data_rng.permutation(len(train_batches))
+            epoch_batches = (train_batches[int(i)] for i in order)
+        for b in epoch_batches:
             rng, sub = jax.random.split(rng)
             state, loss = train_step(state, b, sub)
             losses.append(loss)
