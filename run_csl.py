@@ -95,11 +95,13 @@ def main():
         train_step = make_train_step(model, ce_graph_loss)
         acc_step = make_accuracy_step(model)
         drng = np.random.default_rng(args.seed + fi)
+        from escgnn_tpu.data.prefetch import materialized_batches
+
+        train_batches = materialized_batches(train, spec)
         for _ in range(args.epochs):
-            for b in batch_iterator(train, spec, shuffle=True, rng=drng):
-                b = jax.tree.map(jnp.asarray, b)
+            for i in drng.permutation(len(train_batches)):
                 rng, sub = jax.random.split(rng)
-                state, loss = train_step(state, b, sub)
+                state, loss = train_step(state, train_batches[int(i)], sub)
         ok = tot = 0.0
         for b in batch_iterator(test, spec):
             b = jax.tree.map(jnp.asarray, b)

@@ -87,6 +87,11 @@ def main():
         lo, hi = si * n // args.splits, (si + 1) * n // args.splits
         test = feats[lo:hi]
         train = feats[:lo] + feats[hi:]
+        if not train:
+            raise ValueError(
+                "--splits 1 leaves an empty train set (test = the whole "
+                "dataset); use >= 2 splits"
+            )
         # expressivity subset: every 4th pair of the test block
         idx = np.arange(len(test))
         expr = [test[i] for i in idx if (i // 2) % 2 == 0]
@@ -102,11 +107,13 @@ def main():
         train_step = make_train_step(model, ce_graph_loss)
         acc_step = make_accuracy_step(model)
         drng = np.random.default_rng(args.seed + si)
+        from escgnn_tpu.data.prefetch import materialized_batches
+
+        train_batches = materialized_batches(train, spec)
         for ep in range(args.epochs):
-            for b in batch_iterator(train, spec, shuffle=True, rng=drng):
-                b = jax.tree.map(jnp.asarray, b)
+            for i in drng.permutation(len(train_batches)):
                 rng, sub = jax.random.split(rng)
-                state, _ = train_step(state, b, sub)
+                state, _ = train_step(state, train_batches[int(i)], sub)
         accs = (
             accuracy(acc_step, state, test, spec),
             accuracy(acc_step, state, expr, spec),

@@ -184,15 +184,20 @@ def main():
             ps.append(scores[m])
         return metric_fn(np.concatenate(ys), np.concatenate(ps))
 
+    from escgnn_tpu.data.prefetch import materialized_batches
+
+    # device-resident train pool, order-shuffled per epoch (tunnel
+    # device_put leak + epoch speed — see the regression drivers)
+    train_batches = materialized_batches(splits["train"], spec)
     data_rng = np.random.default_rng(args.seed)
     best_val = -1.0
     best_test = float("nan")
     for epoch in range(start_epoch, args.epochs + 1):
         t_ep = time.time()
         losses = []
-        for b in prefetched_batches(splits["train"], spec, shuffle=True, rng=data_rng):
+        for i in data_rng.permutation(len(train_batches)):
             rng, sub = jax.random.split(rng)
-            state, loss = train_step(state, b, sub)
+            state, loss = train_step(state, train_batches[int(i)], sub)
             losses.append(loss)
         val = evaluate(splits["val"])
         line = (
