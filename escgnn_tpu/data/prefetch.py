@@ -124,3 +124,28 @@ def _tree_leaves(b):
     import jax
 
     return jax.tree.leaves(b)
+
+
+def materialized_batch_pools(
+    graphs: Sequence[GraphData],
+    spec: BatchSpec,
+    k: int = 4,
+    seed: int = 0,
+    pin_bytes: int = 256 * 2**20,
+) -> list:
+    """K independently membership-shuffled batch pools of the same graphs.
+
+    Cycling pools across epochs (pool e % k, order-shuffled within) is
+    the bounded-transfer stand-in for the reference's per-epoch
+    membership reshuffle: k pools cost k transfers total instead of one
+    per epoch (each device_put leaks host RSS on the remote tunnel).
+    k=1 degenerates to a fixed pool."""
+    rng = np.random.default_rng(seed)
+    pools = []
+    for _ in range(max(1, k)):
+        order = rng.permutation(len(graphs))
+        shuffled = [graphs[int(i)] for i in order]
+        pools.append(
+            materialized_batches(shuffled, spec, pin_bytes=pin_bytes)
+        )
+    return pools

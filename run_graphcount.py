@@ -28,7 +28,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from escgnn_tpu.data.batching import BatchSpec, batch_iterator
-from escgnn_tpu.data.prefetch import materialized_batches, prefetched_batches
+from escgnn_tpu.data.prefetch import (
+    materialized_batch_pools,
+    materialized_batches,
+    prefetched_batches,
+)
 from escgnn_tpu.data.counting import (
     CountingDatasetConfig,
     generate_counting_graphs,
@@ -106,6 +110,8 @@ def main():
                    help="conv-stack compute dtype (f32 master params)")
     p.add_argument("--analyze", action="store_true",
                    help="per-count-value MAE breakdown after training")
+    p.add_argument("--membership_pools", type=int, default=4,
+                   help="pre-built membership-shuffled train batch pools cycled across epochs (bounded-transfer stand-in for per-epoch reshuffling)")
     p.add_argument("--reshuffle_membership", action="store_true",
                    help="re-form train batches every epoch (reference-exact shuffling; leaks host RSS on the remote-tunnel env — see train pool comment)")
     p.add_argument("--bn_eval", default="running",
@@ -183,7 +189,9 @@ def main():
     # a 2000-epoch run OOM-killed a 125 GB host at ~216 MB/epoch), so
     # per-epoch membership reshuffling is opt-in (--reshuffle_membership:
     # the reference's exact semantics, fresh transfers each epoch).
-    train_batches = materialized_batches(splits["train"], spec)
+    train_pools = materialized_batch_pools(
+        splits["train"], spec, k=args.membership_pools, seed=args.seed
+    )
     val_batches = materialized_batches(splits["val"], spec)
     test_batches = materialized_batches(splits["test"], spec)
     refresh_batches = materialized_batches(
@@ -209,8 +217,9 @@ def main():
                 splits["train"], spec, shuffle=True, rng=data_rng
             )
         else:
-            order = data_rng.permutation(len(train_batches))
-            epoch_batches = (train_batches[int(i)] for i in order)
+            pool = train_pools[(epoch - 1) % len(train_pools)]
+            order = data_rng.permutation(len(pool))
+            epoch_batches = (pool[int(i)] for i in order)
         for b in epoch_batches:
             rng, sub = jax.random.split(rng)
             state, loss = train_step(state, b, sub)
