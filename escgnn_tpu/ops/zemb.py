@@ -255,8 +255,11 @@ def zemb_unique_rows(table, batch):
 
 
 # VMEM budget for the expansion-backward kernel's resident (R, H) f32
-# accumulator; above this the XLA scatter transpose runs instead
-_EXPAND_KERNEL_VMEM_BYTES = 6 * 2**20
+# accumulator; above this the XLA scatter transpose runs instead. The
+# kernel owns the core's VMEM while it runs (its only other residents
+# are a (128, H) gradient tile and the onehot), so ~12 MB of the 16 MB
+# is safe.
+_EXPAND_KERNEL_VMEM_BYTES = 12 * 2**20
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(4,))
