@@ -127,10 +127,13 @@ def main():
     # Timing methodology: scan n_iter full train steps ON DEVICE in one
     # dispatch. Individually dispatched steps are capped by the tunnel's
     # per-dispatch round trip (~4 ms/step measured — above the step's
-    # 3.7 ms device time, profiled), which would benchmark the tunnel,
-    # not the chip. On a real TPU host the input pipeline dispatches
-    # exactly like this scan (see make_multi_train_step).
-    n_iter = 50
+    # device time), which would benchmark the tunnel, not the chip; even
+    # one 50-step scan carries ~25 ms of tunnel dispatch+sync overhead
+    # (profiled: device busy 58.4 ms vs 83 ms wall), so the scan is long
+    # enough to amortize it to <3%. On a real TPU host the input
+    # pipeline dispatches exactly like this scan
+    # (see make_multi_train_step).
+    n_iter = 400
     from functools import partial
 
     @partial(jax.jit, donate_argnums=(0,))
