@@ -144,8 +144,11 @@ class MaskedBatchNorm(nn.Module):
                     (1 - self.momentum) * ra_var.value + self.momentum * unbiased
                 )
 
-        y = (x - mean) * jax.lax.rsqrt(var + self.eps)
-        return y * scale + bias
+        y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.eps)
+        # statistics and normalization run in f32; the activation leaves
+        # in its input dtype so bf16 stacks stay bf16 between ops (the
+        # f32 round-trip per BN was ~half the step's HBM traffic)
+        return (y * scale + bias).astype(x.dtype)
 
 
 class MLP(nn.Module):

@@ -185,7 +185,10 @@ class NestedGINEff(nn.Module):
             )
             xs.append(hcur)
 
-        h = jnp.concatenate([a.astype(jnp.float32) for a in xs], axis=-1)
+        # JK concat + pooling stay in the conv compute dtype (the f32
+        # concat alone was 21 MB x2 of HBM traffic at flagship shapes);
+        # the head runs in f32 from the pooled (G, .) tensor on
+        h = jnp.concatenate([a.astype(cdt) for a in xs], axis=-1)
 
         # --- head ---
         if cfg.graph_pred:
@@ -195,6 +198,7 @@ class NestedGINEff(nn.Module):
             head_mask = batch.graph_mask
         else:
             head_mask = node_mask
+        h = h.astype(jnp.float32)
 
         h = TorchDense(H, name="lin1")(h)
         h = MaskedBatchNorm(name="bn_lin1")(h, head_mask, use_running_average)
