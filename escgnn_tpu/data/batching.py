@@ -686,6 +686,18 @@ def _batch_encoding(graphs, perms, edge_off, spec: BatchSpec) -> dict:
                     u_cnt > 0, remap[u_idx], 0
                 ).astype(_ENC_DTYPE)
                 out["enc_bucket_ids"] = bucket_ids
+                # precomputed count matrix (see container.enc_countmat);
+                # guarded by size — a few MB/batch is fine for pooled
+                # batches, tens of MB is not
+                if R * B * 4 <= 16 * 2**20:
+                    C = np.zeros((R, B), np.float32)
+                    ci = out["enc_idx"].astype(np.int64)
+                    np.add.at(
+                        C,
+                        (np.repeat(np.arange(R), W), ci.ravel()),
+                        np.where(u_cnt > 0, u_cnt, 0).astype(np.float32).ravel(),
+                    )
+                    out["enc_countmat"] = C
             return out
         return {"enc_idx": enc_idx, "enc_cnt": enc_cnt}
     K = spec.num_enc_nnz

@@ -251,6 +251,13 @@ def zemb_unique_rows(table, batch):
         from escgnn_tpu.ops.embed import embed_take
 
         table = embed_take(table, batch.enc_bucket_ids.astype(jnp.int32))
+        if getattr(batch, "enc_countmat", None) is not None:
+            # host-precomputed C: the whole reduce is one MXU matmul
+            # (identical math to building C on device — C is batch data)
+            return jnp.dot(
+                batch.enc_countmat, table,
+                preferred_element_type=jnp.float32,
+            )
     return zemb_weighted_gather(table, batch.enc_idx, batch.enc_cnt)
 
 
