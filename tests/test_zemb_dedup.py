@@ -224,3 +224,34 @@ def test_expand_rows_backward_matches_scatter(rng):
     cos = a.dot(b) / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12)
     assert cos > 0.999, cos
     assert np.linalg.norm(a - b) / (np.linalg.norm(b) + 1e-12) < 0.02
+
+
+def test_precomputed_countmat_matches_device_build(rng):
+    """The host-precomputed enc_countmat path must equal the on-device
+    count-matrix build exactly (C is integer batch data; both paths end
+    in the same f32 matmul)."""
+    from escgnn_tpu.ops.zemb import zemb_unique_rows
+
+    graphs = _graphs(rng)
+    sd = BatchSpec.from_graphs(graphs, batch_size=3, enc_layout="dedup")
+    bd = jax.tree.map(jnp.asarray, pad_and_batch(graphs, sd))
+    assert bd.enc_countmat is not None
+    table = jnp.asarray(rng.normal(size=(1800, 16)).astype(np.float32))
+    u_pre = zemb_unique_rows(table, bd)
+    u_dev = zemb_unique_rows(table, bd.replace(enc_countmat=None))
+    np.testing.assert_allclose(
+        np.asarray(u_pre), np.asarray(u_dev), rtol=1e-6, atol=1e-6
+    )
+    # C content check vs a dense oracle over table rows
+    C = np.asarray(bd.enc_countmat)
+    ids = np.asarray(bd.enc_bucket_ids)
+    idx = np.asarray(bd.enc_idx)
+    cnt = np.asarray(bd.enc_cnt)
+    R, W = idx.shape
+    Cd = np.zeros_like(C)
+    np.add.at(
+        Cd,
+        (np.repeat(np.arange(R), W), idx.astype(np.int64).ravel()),
+        np.where(cnt > 0, cnt, 0).astype(np.float32).ravel(),
+    )
+    np.testing.assert_array_equal(C, Cd)
