@@ -215,6 +215,57 @@ def make_multi_train_step(
     return multi_step
 
 
+def make_pool_train_step(
+    model,
+    loss_fn: Callable[[jax.Array, GraphBatch], jax.Array],
+):
+    """One WHOLE EPOCH per device dispatch: lax.scan over a permutation
+    of a device-resident stacked batch pool.
+
+    `stacked` is the pool with a leading batch axis (`stack_batches` of a
+    `materialized_batches` pool, device-put once); `order` is the epoch's
+    shuffled index vector. The scan body dynamically indexes the pool in
+    HBM — with device-resident pools this makes an epoch a single
+    dispatch (the remote tunnel costs ~25 ms per dispatch) and transfers
+    nothing but the order vector."""
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def pool_step(state: TrainState, stacked: GraphBatch, order, rng):
+        def compute(params, batch_stats, batch, step_rng):
+            out, mut = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                batch,
+                deterministic=False,
+                use_running_average=False,
+                mutable=["batch_stats"],
+                rngs={"dropout": step_rng},
+            )
+            return loss_fn(out, batch), mut["batch_stats"]
+
+        def body(state, i):
+            batch = jax.tree.map(lambda a: a[i], stacked)
+            step_rng = jax.random.fold_in(rng, state.step)
+            (loss, new_stats), grads = jax.value_and_grad(
+                compute, has_aux=True
+            )(state.params, state.batch_stats, batch, step_rng)
+            updates, new_opt = state.tx.update(
+                grads, state.opt_state, state.params
+            )
+            return (
+                state.replace(
+                    step=state.step + 1,
+                    params=optax.apply_updates(state.params, updates),
+                    batch_stats=new_stats,
+                    opt_state=new_opt,
+                ),
+                loss,
+            )
+
+        return jax.lax.scan(body, state, order.astype(jnp.int32))
+
+    return pool_step
+
+
 def stack_batches(batches):
     """Stack a list of same-shape GraphBatches along a new leading axis
     (host-side numpy; feed to `make_multi_train_step`)."""
@@ -315,3 +366,71 @@ def make_eval_step(model, node_level: bool = True, bn_mode: str = "running"):
         return jnp.sum(err), jnp.sum(mask) * out.shape[-1]
 
     return eval_step
+
+
+def make_pool_eval_step(model, node_level: bool = True,
+                        bn_mode: str = "running"):
+    """`make_eval_step` over a STACKED batch pool in one dispatch:
+    returns (sum |err|, count) accumulated across the pool's batches
+    (lax.scan over the leading axis — device-resident eval sets cost one
+    tunnel round trip per eval pass instead of one per batch)."""
+
+    @jax.jit
+    def eval_pool(params, batch_stats, stacked: GraphBatch):
+        def body(acc, batch):
+            if bn_mode == "batch":
+                out, _ = model.apply(
+                    {"params": params, "batch_stats": batch_stats},
+                    batch,
+                    deterministic=True,
+                    use_running_average=False,
+                    mutable=["batch_stats"],
+                )
+            else:
+                out = model.apply(
+                    {"params": params, "batch_stats": batch_stats},
+                    batch,
+                    deterministic=True,
+                    use_running_average=True,
+                )
+            mask = batch.node_mask if node_level else batch.graph_mask
+            err = jnp.abs(out - batch.y) * mask[:, None]
+            return (
+                acc[0] + jnp.sum(err),
+                acc[1] + jnp.sum(mask) * out.shape[-1],
+            ), None
+
+        acc, _ = jax.lax.scan(
+            body, (jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32)),
+            stacked,
+        )
+        return acc
+
+    return eval_pool
+
+
+def make_pool_refresh_step(model):
+    """Exact-average BN running-stat re-estimation over a STACKED batch
+    pool in one dispatch (the scan-pool form of `make_bn_refresh_step` +
+    `refresh_bn_stats`): every batch's moments are computed from the same
+    base statistics and averaged."""
+
+    @jax.jit
+    def refresh_pool(batch_stats, params, stacked: GraphBatch):
+        def body(_, batch):
+            _, mut = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                batch,
+                deterministic=True,
+                use_running_average=False,
+                mutable=["batch_stats"],
+            )
+            mb = jax.tree.map(
+                lambda nw, od: 10.0 * nw - 9.0 * od,
+                mut["batch_stats"], batch_stats,
+            )
+            return None, mb
+        _, mbs = jax.lax.scan(body, None, stacked)
+        return jax.tree.map(lambda a: jnp.mean(a, axis=0), mbs)
+
+    return refresh_pool

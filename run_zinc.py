@@ -46,6 +46,10 @@ from escgnn_tpu.train.loop import (
     set_learning_rate,
     make_bn_refresh_step,
     refresh_bn_stats,
+    make_pool_eval_step,
+    make_pool_refresh_step,
+    make_pool_train_step,
+    stack_batches,
 )
 
 
@@ -143,6 +147,8 @@ def main():
         adam_with_plateau(args.lr),
     )
     train_step = make_train_step(model, l1_graph_loss)
+    if not args.reshuffle_membership:
+        pool_train_step = make_pool_train_step(model, l1_graph_loss)
     eval_step = make_eval_step(model, node_level=False, bn_mode=args.bn_eval)
     bn_refresh = make_bn_refresh_step(model)
     sched = PlateauScheduler(
@@ -156,22 +162,38 @@ def main():
     # a 2000-epoch run OOM-killed a 125 GB host at ~216 MB/epoch), so
     # per-epoch membership reshuffling is opt-in (--reshuffle_membership:
     # the reference's exact semantics, fresh transfers each epoch).
-    train_pools = materialized_batch_pools(
-        splits["train"], spec, k=args.membership_pools, seed=args.seed
-    )
-    val_batches = materialized_batches(splits["val"], spec)
-    test_batches = materialized_batches(splits["test"], spec)
-    refresh_batches = materialized_batches(
-        splits["train"][: 8 * args.batch_size], spec
-    )
+    if not args.reshuffle_membership:
+        # stacked device-resident pools: one dispatch per epoch
+        pool_rng = np.random.default_rng(args.seed)
+        stacked_pools = []
+        for _ in range(max(1, args.membership_pools)):
+            order = pool_rng.permutation(len(splits["train"]))
+            shuffled = [splits["train"][int(i)] for i in order]
+            stacked_pools.append(jax.tree.map(
+                jnp.asarray,
+                stack_batches(list(batch_iterator(shuffled, spec))),
+            ))
+        num_train_batches = (
+            len(splits["train"]) + spec.num_graphs - 1
+        ) // spec.num_graphs
+    # pad once, stack, device-put: each eval pass / refresh is ONE
+    # device dispatch (pooled scan)
+    def _stack(graphs):
+        return jax.tree.map(
+            jnp.asarray, stack_batches(list(batch_iterator(graphs, spec)))
+        )
 
-    def evaluate(batches):
-        tot = cnt = 0.0
-        for b in batches:
-            e, c = eval_step(state.params, state.batch_stats, b)
-            tot += float(e)
-            cnt += float(c)
-        return tot / max(cnt, 1.0) * std
+    val_stack = _stack(splits["val"])
+    test_stack = _stack(splits["test"])
+    refresh_stack = _stack(splits["train"][: 8 * args.batch_size])
+    eval_pool = make_pool_eval_step(
+        model, node_level=False, bn_mode=args.bn_eval
+    )
+    refresh_pool = make_pool_refresh_step(model)
+
+    def evaluate(stacked):
+        e, c = eval_pool(state.params, state.batch_stats, stacked)
+        return float(e) / max(float(c), 1.0) * std
 
     data_rng = np.random.default_rng(args.seed)
     best_val = best_test = float("inf")
@@ -179,21 +201,27 @@ def main():
         t_ep = time.time()
         losses = []
         if args.reshuffle_membership:
-            epoch_batches = prefetched_batches(
+            for b in prefetched_batches(
                 splits["train"], spec, shuffle=True, rng=data_rng
-            )
+            ):
+                rng, sub = jax.random.split(rng)
+                state, loss = train_step(state, b, sub)
+                losses.append(loss)
         else:
-            pool = train_pools[(epoch - 1) % len(train_pools)]
-            order = data_rng.permutation(len(pool))
-            epoch_batches = (pool[int(i)] for i in order)
-        for b in epoch_batches:
-            rng, sub = jax.random.split(rng)
-            state, loss = train_step(state, b, sub)
-            losses.append(loss)
+            pool = stacked_pools[(epoch - 1) % len(stacked_pools)]
+            order = jnp.asarray(
+                data_rng.permutation(num_train_batches), jnp.int32
+            )
+            state, ep_losses = pool_train_step(state, pool, order, rng)
+            losses.append(jnp.mean(ep_losses))
         if args.bn_eval == "running":
             # re-estimate BN running stats with frozen params before eval
-            state = refresh_bn_stats(bn_refresh, state, refresh_batches)
-        val_mae = evaluate(val_batches)
+            state = state.replace(
+                batch_stats=refresh_pool(
+                    state.batch_stats, state.params, refresh_stack
+                )
+            )
+        val_mae = evaluate(val_stack)
         lr = get_learning_rate(state)
         new_lr = sched.step(val_mae, lr)
         if new_lr != lr:
@@ -205,7 +233,7 @@ def main():
         )
         if val_mae < best_val:
             best_val = val_mae
-            best_test = evaluate(test_batches)
+            best_test = evaluate(test_stack)
             line += f" test MAE {best_test:.5f} *"
         line += f" ({time.time() - t_ep:.1f}s)"
         print(line)
