@@ -56,6 +56,10 @@ from escgnn_tpu.train.loop import (
     refresh_bn_stats,
     make_train_step,
     set_learning_rate,
+    make_pool_eval_step,
+    make_pool_refresh_step,
+    make_pool_train_step,
+    stack_batches,
 )
 
 
@@ -183,42 +187,50 @@ def run_one(cfg, seed: int, out_dir: str) -> dict:
         ) + 1
         print(f"[seed {seed}] auto-resumed at epoch {start_epoch}")
 
-    def evaluate(graphs):
-        tot = cnt = 0.0
-        for b in batch_iterator(graphs, spec):
-            b = jax.tree.map(jnp.asarray, b)
-            s, c = eval_step(state.params, state.batch_stats, b)
-            tot += float(s)
-            cnt += float(c)
-        return tot / max(cnt, 1.0)
-
     np_rng = np.random.default_rng(seed)
-    # device-resident train pool, order-shuffled per epoch (the remote
-    # tunnel leaks host RSS on every device_put — see the regression
-    # drivers' train-pool comment)
-    from escgnn_tpu.data.prefetch import materialized_batches
+    # stacked device-resident pool: one train dispatch per epoch, one
+    # eval/refresh dispatch per pass (tunnel ~25 ms/dispatch; see the
+    # regression drivers)
+    def _stack(graphs):
+        return jax.tree.map(
+            jnp.asarray, stack_batches(list(batch_iterator(graphs, spec)))
+        )
 
-    train_batches = materialized_batches(splits["train"], spec)
+    train_stack = _stack(splits["train"])
+    n_train_batches = int(
+        (len(splits["train"]) + cfg.train.batch_size - 1)
+        // cfg.train.batch_size
+    )
+    val_stack = _stack(splits["val"])
+    test_stack = _stack(splits["test"])
+    refresh_stack = _stack(splits["train"][: 8 * cfg.train.batch_size])
+    pool_train_step = make_pool_train_step(model, l1_graph_loss)
+    eval_pool = make_pool_eval_step(model, node_level=False)
+    refresh_pool = make_pool_refresh_step(model)
+
+    def evaluate_stack(stacked):
+        e, c = eval_pool(state.params, state.batch_stats, stacked)
+        return float(e) / max(float(c), 1.0)
+
     best_val, best_test, best_epoch = float("inf"), float("inf"), -1
     t0 = time.time()
     for epoch in range(start_epoch, cfg.train.epochs + 1):
-        losses = []
-        for i in np_rng.permutation(len(train_batches)):
-            b = train_batches[int(i)]
-            rng, sub = jax.random.split(rng)
-            state, loss = train_step(state, b, sub)
-            losses.append(loss)
+        order = jnp.asarray(
+            np_rng.permutation(n_train_batches), jnp.int32
+        )
+        rng, sub = jax.random.split(rng)
+        state, ep_losses = pool_train_step(state, train_stack, order, sub)
+        losses = [jnp.mean(ep_losses)]
         if epoch % cfg.train.eval_period == 0:
             # exact-average re-estimation of BN running stats on frozen
-            # params before eval (see train/loop.py refresh_bn_stats)
-            state = refresh_bn_stats(
-                bn_refresh, state,
-                (jax.tree.map(jnp.asarray, b) for b in batch_iterator(
-                    splits["train"][: 8 * cfg.train.batch_size], spec
-                )),
+            # params before eval (train/loop.py make_pool_refresh_step)
+            state = state.replace(
+                batch_stats=refresh_pool(
+                    state.batch_stats, state.params, refresh_stack
+                )
             )
-            val = evaluate(splits["val"])
-            test = evaluate(splits["test"])
+            val = evaluate_stack(val_stack)
+            test = evaluate_stack(test_stack)
             if val < best_val:
                 best_val, best_test, best_epoch = val, test, epoch
                 if cfg.train.ckpt_best:
