@@ -2,7 +2,7 @@
 
 Capability mirror of the reference's `GraphCountDataset.py`: random graphs
 with per-node substructure-count targets (y columns = 3..6-cycles for
-`count_cycle`, four 4-node graphlets for `count_graphlet`,
+`count_cycle`, five graphlets for `count_graphlet`,
 `GraphCountDataset.py:34-120`). The reference ships the graphs as .mat
 blobs (not distributed, `.MISSING_LARGE_BLOBS`); here the dataset is
 regenerated deterministically from a seed and the targets are computed
@@ -54,6 +54,12 @@ def count_cycles_per_node(num_nodes: int, edge_index) -> np.ndarray:
         dfs(r, r, 0)
     assert np.all(counts % 2 == 0)
     return counts // 2
+
+
+# y-column counts per task; part of the featurization cache key so a
+# target-schema change (e.g. adding the triangle-rectangle column)
+# invalidates cached count_graphlet datasets instead of serving stale y
+TARGET_COLUMNS = {"cycle": 4, "graphlet": 5}
 
 
 @dataclasses.dataclass(frozen=True)

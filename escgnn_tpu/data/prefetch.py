@@ -126,6 +126,70 @@ def _tree_leaves(b):
     return jax.tree.leaves(b)
 
 
+def _stack_host(batches: Sequence[GraphBatch]) -> GraphBatch:
+    import jax
+
+    return jax.tree.map(lambda *xs: np.stack(xs), *batches)
+
+
+def stack_split(graphs: Sequence[GraphData], spec: BatchSpec) -> GraphBatch:
+    """Pad a FIXED split once, stack along a new leading axis, and
+    device-put: each eval/refresh pass over it is then ONE device
+    dispatch (`lax.scan` over the leading axis in the pool_* steps),
+    instead of one tunnel round trip per batch."""
+    import jax
+    import jax.numpy as jnp
+
+    return jax.tree.map(
+        jnp.asarray, _stack_host(list(batch_iterator(graphs, spec)))
+    )
+
+
+def stacked_batch_pools(
+    graphs: Sequence[GraphData],
+    spec: BatchSpec,
+    k: int = 4,
+    seed: int = 0,
+    max_total_bytes: int = 4 * 2**30,
+) -> tuple[list, int]:
+    """K membership-shuffled STACKED device-resident train pools plus the
+    per-epoch batch count.
+
+    The stacked form of `materialized_batch_pools`: cycling pools across
+    epochs (pool e % k, order-shuffled within via the scan's index
+    vector) is the bounded-transfer stand-in for the reference's
+    per-epoch membership reshuffle on the leaky-tunnel environment.
+    All k pools live in HBM simultaneously, so k is capped to keep the
+    total under `max_total_bytes` (a pool is the whole padded train
+    split; 4 copies of a large split plus model/optimizer state can
+    otherwise exceed a 16 GB v5e)."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(seed)
+    pools: list = []
+    kk = max(1, k)
+    i = 0
+    while i < kk:
+        order = rng.permutation(len(graphs))
+        shuffled = [graphs[int(j)] for j in order]
+        host = _stack_host(list(batch_iterator(shuffled, spec)))
+        if i == 0:
+            per_pool = sum(x.nbytes for x in _tree_leaves(host))
+            fit = max(1, int(max_total_bytes // max(per_pool, 1)))
+            if fit < kk:
+                print(
+                    f"stacked_batch_pools: capping pools {kk} -> {fit} "
+                    f"({per_pool / 2**20:.0f} MB per pool, "
+                    f"budget {max_total_bytes / 2**30:.1f} GB)"
+                )
+                kk = fit
+        pools.append(jax.tree.map(jnp.asarray, host))
+        i += 1
+    num_batches = (len(graphs) + spec.num_graphs - 1) // spec.num_graphs
+    return pools, num_batches
+
+
 def materialized_batch_pools(
     graphs: Sequence[GraphData],
     spec: BatchSpec,

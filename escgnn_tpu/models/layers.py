@@ -101,6 +101,8 @@ class MaskedBatchNorm(nn.Module):
     that axis so every shard normalizes with the global statistics.
     """
 
+    # torch-style update fraction; train/loop.py's BN_MOMENTUM (the keep
+    # fraction, 1 - momentum) must stay consistent with this default
     momentum: float = 0.1
     eps: float = 1e-5
     axis_name: Optional[str] = None

@@ -266,6 +266,22 @@ def make_pool_train_step(
     return pool_step
 
 
+# keep-fraction of the models' BatchNorm EMA (MaskedBatchNorm uses
+# torch-style momentum=0.1, i.e. new = 0.9*old + 0.1*batch — see
+# models/layers.py). The refresh paths recover a batch's OWN moments
+# from the EMA update algebraically:
+# batch = (new - keep*old) / (1-keep). Single definition for both
+# refresh implementations; must match MaskedBatchNorm.momentum.
+BN_MOMENTUM = 0.9
+
+
+def recover_batch_moments(new_stats, old_stats):
+    return jax.tree.map(
+        lambda nw, od: (nw - BN_MOMENTUM * od) / (1.0 - BN_MOMENTUM),
+        new_stats, old_stats,
+    )
+
+
 def stack_batches(batches):
     """Stack a list of same-shape GraphBatches along a new leading axis
     (host-side numpy; feed to `make_multi_train_step`)."""
@@ -322,7 +338,7 @@ def refresh_bn_stats(refresh_step, state: TrainState, batches) -> TrainState:
     n = 0
     for b in batches:
         new = refresh_step(base, state.params, b)
-        mb = jax.tree.map(lambda nw, od: 10.0 * nw - 9.0 * od, new, base)
+        mb = recover_batch_moments(new, base)
         acc = mb if acc is None else jax.tree.map(jnp.add, acc, mb)
         n += 1
     if n == 0:
@@ -425,10 +441,7 @@ def make_pool_refresh_step(model):
                 use_running_average=False,
                 mutable=["batch_stats"],
             )
-            mb = jax.tree.map(
-                lambda nw, od: 10.0 * nw - 9.0 * od,
-                mut["batch_stats"], batch_stats,
-            )
+            mb = recover_batch_moments(mut["batch_stats"], batch_stats)
             return None, mb
         _, mbs = jax.lax.scan(body, None, stacked)
         return jax.tree.map(lambda a: jnp.mean(a, axis=0), mbs)

@@ -31,6 +31,7 @@ import numpy as np
 from escgnn_tpu.config import agg_runs, dump_cfg, load_cfg
 from escgnn_tpu.data.batching import BatchSpec, batch_iterator
 from escgnn_tpu.data.molecules import synthetic_zinc
+from escgnn_tpu.data.prefetch import stack_split, stacked_batch_pools
 from escgnn_tpu.featurize.cache import cached_featurize
 from escgnn_tpu.featurize.escgnn import EscConfig
 from escgnn_tpu.featurize.posenc import (
@@ -51,15 +52,11 @@ from escgnn_tpu.train.loop import (
     adam_with_plateau,
     get_learning_rate,
     l1_graph_loss,
-    make_bn_refresh_step,
     make_eval_step,
-    refresh_bn_stats,
-    make_train_step,
     set_learning_rate,
     make_pool_eval_step,
     make_pool_refresh_step,
     make_pool_train_step,
-    stack_batches,
 )
 
 
@@ -170,9 +167,6 @@ def run_one(cfg, seed: int, out_dir: str) -> dict:
     )
     print(f"[seed {seed}] params: {n_params / 1e6:.2f}M")
 
-    train_step = make_train_step(model, l1_graph_loss)
-    eval_step = make_eval_step(model, node_level=False)
-    bn_refresh = make_bn_refresh_step(model)
     sched = PlateauScheduler(
         factor=cfg.optim.lr_decay_factor, patience=cfg.optim.patience,
         min_lr=cfg.optim.min_lr,
@@ -190,20 +184,16 @@ def run_one(cfg, seed: int, out_dir: str) -> dict:
     np_rng = np.random.default_rng(seed)
     # stacked device-resident pool: one train dispatch per epoch, one
     # eval/refresh dispatch per pass (tunnel ~25 ms/dispatch; see the
-    # regression drivers)
-    def _stack(graphs):
-        return jax.tree.map(
-            jnp.asarray, stack_batches(list(batch_iterator(graphs, spec)))
-        )
-
-    train_stack = _stack(splits["train"])
-    n_train_batches = int(
-        (len(splits["train"]) + cfg.train.batch_size - 1)
-        // cfg.train.batch_size
+    # regression drivers). Single membership pool; batch ORDER still
+    # reshuffles every epoch via the scan's index vector.
+    [train_stack], n_train_batches = stacked_batch_pools(
+        splits["train"], spec, k=1, seed=seed
     )
-    val_stack = _stack(splits["val"])
-    test_stack = _stack(splits["test"])
-    refresh_stack = _stack(splits["train"][: 8 * cfg.train.batch_size])
+    val_stack = stack_split(splits["val"], spec)
+    test_stack = stack_split(splits["test"], spec)
+    refresh_stack = stack_split(
+        splits["train"][: 8 * cfg.train.batch_size], spec
+    )
     pool_train_step = make_pool_train_step(model, l1_graph_loss)
     eval_pool = make_pool_eval_step(model, node_level=False)
     refresh_pool = make_pool_refresh_step(model)

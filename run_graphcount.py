@@ -29,11 +29,13 @@ import numpy as np
 
 from escgnn_tpu.data.batching import BatchSpec, batch_iterator
 from escgnn_tpu.data.prefetch import (
-    materialized_batch_pools,
     materialized_batches,
     prefetched_batches,
+    stack_split,
+    stacked_batch_pools,
 )
 from escgnn_tpu.data.counting import (
+    TARGET_COLUMNS,
     CountingDatasetConfig,
     generate_counting_graphs,
     normalize_targets,
@@ -47,15 +49,11 @@ from escgnn_tpu.train.loop import (
     make_pool_eval_step,
     make_pool_refresh_step,
     make_pool_train_step,
-    stack_batches,
     TrainState,
     adam_with_plateau,
     get_learning_rate,
     l1_node_loss,
-    make_bn_refresh_step,
-    make_eval_step,
     make_train_step,
-    refresh_bn_stats,
     set_learning_rate,
 )
 
@@ -77,10 +75,14 @@ def build_datasets(args):
         return raw_cache
 
     out = {}
+    # y{cols} keys the cache on the target schema so widening it (e.g.
+    # the 5th graphlet column) rebuilds instead of serving stale targets
+    ycols = TARGET_COLUMNS[dcfg.task]
     for name in ("train", "val", "test"):
         out[name] = cached_featurize(
             os.path.join(args.data_dir, args.dataset),
-            f"{name}_n{dcfg.num_graphs}_s{dcfg.seed}_{ecfg.cache_key()}",
+            f"{name}_n{dcfg.num_graphs}_s{dcfg.seed}"
+            f"_y{ycols}_{ecfg.cache_key()}",
             lambda name=name: featurize_many(
                 raw_splits()[name], ecfg, num_workers=args.num_workers
             ),
@@ -91,8 +93,8 @@ def build_datasets(args):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--target", type=int, default=0, help="0..3 -> 3..6-cycles "
-                   "(count_cycle) / tailed-tri, chordal, 4-clique, P4 "
-                   "(count_graphlet)")
+                   "(count_cycle) / 0..4 -> tailed-tri, chordal, 4-clique, "
+                   "P4, triangle-rectangle (count_graphlet)")
     p.add_argument("--dataset", default="count_cycle",
                    choices=["count_cycle", "count_graphlet"])
     p.add_argument("--h", type=int, default=3)
@@ -179,8 +181,6 @@ def main():
     train_step = make_train_step(model, l1_node_loss)
     if not args.reshuffle_membership:
         pool_train_step = make_pool_train_step(model, l1_node_loss)
-    eval_step = make_eval_step(model, node_level=True, bn_mode=args.bn_eval)
-    bn_refresh = make_bn_refresh_step(model)
     sched = PlateauScheduler(
         factor=args.lr_decay_factor, patience=args.patience
     )
@@ -196,37 +196,18 @@ def main():
     # per-epoch membership reshuffling is opt-in (--reshuffle_membership:
     # the reference's exact semantics, fresh transfers each epoch).
     if args.reshuffle_membership:
-        train_pools = None
         stacked_pools = None
     else:
         # stacked device-resident pools: ONE dispatch per epoch via
         # lax.scan over a shuffled index vector (make_pool_train_step);
         # the tunnel costs ~25 ms per dispatch, so per-batch stepping
         # bounds epochs at ~n_batches x 25 ms regardless of compute
-        pool_rng = np.random.default_rng(args.seed)
-        stacked_pools = []
-        for _ in range(max(1, args.membership_pools)):
-            order = pool_rng.permutation(len(splits["train"]))
-            shuffled = [splits["train"][int(i)] for i in order]
-            host_batches = list(batch_iterator(shuffled, spec))
-            stacked_pools.append(
-                jax.tree.map(
-                    jnp.asarray, stack_batches(host_batches)
-                )
-            )
-        num_train_batches = (
-            len(splits["train"]) + spec.num_graphs - 1
-        ) // spec.num_graphs
-    # pad once, stack, device-put: each eval pass / refresh is ONE
-    # device dispatch (pooled scan)
-    def _stack(graphs):
-        return jax.tree.map(
-            jnp.asarray, stack_batches(list(batch_iterator(graphs, spec)))
+        stacked_pools, num_train_batches = stacked_batch_pools(
+            splits["train"], spec, k=args.membership_pools, seed=args.seed
         )
-
-    val_stack = _stack(splits["val"])
-    test_stack = _stack(splits["test"])
-    refresh_stack = _stack(splits["train"][: 8 * args.batch_size])
+    val_stack = stack_split(splits["val"], spec)
+    test_stack = stack_split(splits["test"], spec)
+    refresh_stack = stack_split(splits["train"][: 8 * args.batch_size], spec)
     eval_pool = make_pool_eval_step(
         model, node_level=True, bn_mode=args.bn_eval
     )

@@ -26,9 +26,9 @@ import numpy as np
 
 from escgnn_tpu.data.batching import BatchSpec, batch_iterator
 from escgnn_tpu.data.prefetch import (
-    materialized_batch_pools,
-    materialized_batches,
     prefetched_batches,
+    stack_split,
+    stacked_batch_pools,
 )
 from escgnn_tpu.data.molecules import zinc_splits
 from escgnn_tpu.featurize.cache import cached_featurize
@@ -41,15 +41,11 @@ from escgnn_tpu.train.loop import (
     adam_with_plateau,
     get_learning_rate,
     l1_graph_loss,
-    make_eval_step,
     make_train_step,
     set_learning_rate,
-    make_bn_refresh_step,
-    refresh_bn_stats,
     make_pool_eval_step,
     make_pool_refresh_step,
     make_pool_train_step,
-    stack_batches,
 )
 
 
@@ -149,43 +145,23 @@ def main():
     train_step = make_train_step(model, l1_graph_loss)
     if not args.reshuffle_membership:
         pool_train_step = make_pool_train_step(model, l1_graph_loss)
-    eval_step = make_eval_step(model, node_level=False, bn_mode=args.bn_eval)
-    bn_refresh = make_bn_refresh_step(model)
     sched = PlateauScheduler(
         factor=args.lr_decay_factor, patience=args.patience
     )
 
-    # eval/refresh sets never reshuffle: pad + device-put them once
-    # device-resident train batch POOL, iterated in a fresh random ORDER
-    # each epoch. The remote-execution tunnel of this environment leaks
-    # ~1x the transferred bytes in host RSS on every device_put (measured;
-    # a 2000-epoch run OOM-killed a 125 GB host at ~216 MB/epoch), so
-    # per-epoch membership reshuffling is opt-in (--reshuffle_membership:
-    # the reference's exact semantics, fresh transfers each epoch).
+    # Device-resident batch pools: the remote-execution tunnel leaks
+    # ~1x the transferred bytes in host RSS on every device_put
+    # (measured; a 2000-epoch run OOM-killed a 125 GB host at
+    # ~216 MB/epoch), so per-epoch membership reshuffling is opt-in
+    # (--reshuffle_membership: the reference's exact semantics, fresh
+    # transfers each epoch). See stacked_batch_pools/stack_split.
     if not args.reshuffle_membership:
-        # stacked device-resident pools: one dispatch per epoch
-        pool_rng = np.random.default_rng(args.seed)
-        stacked_pools = []
-        for _ in range(max(1, args.membership_pools)):
-            order = pool_rng.permutation(len(splits["train"]))
-            shuffled = [splits["train"][int(i)] for i in order]
-            stacked_pools.append(jax.tree.map(
-                jnp.asarray,
-                stack_batches(list(batch_iterator(shuffled, spec))),
-            ))
-        num_train_batches = (
-            len(splits["train"]) + spec.num_graphs - 1
-        ) // spec.num_graphs
-    # pad once, stack, device-put: each eval pass / refresh is ONE
-    # device dispatch (pooled scan)
-    def _stack(graphs):
-        return jax.tree.map(
-            jnp.asarray, stack_batches(list(batch_iterator(graphs, spec)))
+        stacked_pools, num_train_batches = stacked_batch_pools(
+            splits["train"], spec, k=args.membership_pools, seed=args.seed
         )
-
-    val_stack = _stack(splits["val"])
-    test_stack = _stack(splits["test"])
-    refresh_stack = _stack(splits["train"][: 8 * args.batch_size])
+    val_stack = stack_split(splits["val"], spec)
+    test_stack = stack_split(splits["test"], spec)
+    refresh_stack = stack_split(splits["train"][: 8 * args.batch_size], spec)
     eval_pool = make_pool_eval_step(
         model, node_level=False, bn_mode=args.bn_eval
     )

@@ -87,10 +87,10 @@ def main():
 
     from escgnn_tpu.data.batching import BatchSpec, batch_iterator
     from escgnn_tpu.data.prefetch import (
-    materialized_batch_pools,
-    materialized_batches,
-    prefetched_batches,
-)
+        prefetched_batches,
+        stack_split,
+        stacked_batch_pools,
+    )
     from escgnn_tpu.models.nested_gin_eff import NestedGINEff, NestedGINEffConfig
     from escgnn_tpu.train.loop import (
         PlateauScheduler,
@@ -98,16 +98,12 @@ def main():
         adam_with_plateau,
         get_learning_rate,
         l1_node_loss,
-        make_eval_step,
         make_train_step,
         set_learning_rate,
-    make_bn_refresh_step,
-    refresh_bn_stats,
-    make_pool_eval_step,
-    make_pool_refresh_step,
-    make_pool_train_step,
-    stack_batches,
-)
+        make_pool_eval_step,
+        make_pool_refresh_step,
+        make_pool_train_step,
+    )
 
     all_graphs = [g for s in splits.values() for g in s]
     # uniform per-graph blocks + dedup ESC rows: the fast layout the
@@ -145,42 +141,20 @@ def main():
     train_step = make_train_step(model, l1_node_loss)
     if not args.reshuffle_membership:
         pool_train_step = make_pool_train_step(model, l1_node_loss)
-    eval_step = make_eval_step(model, node_level=True, bn_mode=args.bn_eval)
-    bn_refresh = make_bn_refresh_step(model)
     sched = PlateauScheduler(factor=args.lr_decay_factor,
                              patience=args.patience)
 
-    # eval/refresh sets never reshuffle: pad + device-put them once
-    # device-resident train batch POOL, iterated in a fresh random ORDER
-    # each epoch. The remote-execution tunnel of this environment leaks
-    # ~1x the transferred bytes in host RSS on every device_put (measured;
-    # a 2000-epoch run OOM-killed a 125 GB host at ~216 MB/epoch), so
-    # per-epoch membership reshuffling is opt-in (--reshuffle_membership:
-    # the reference's exact semantics, fresh transfers each epoch).
+    # Device-resident batch pools — see stacked_batch_pools/stack_split
+    # (bounded-transfer stand-in for per-epoch reshuffling; the tunnel
+    # leaks host RSS on every device_put). --reshuffle_membership keeps
+    # the reference's exact per-epoch semantics.
     if not args.reshuffle_membership:
-        # stacked device-resident pools: one dispatch per epoch
-        pool_rng = np.random.default_rng(args.seed)
-        stacked_pools = []
-        for _ in range(max(1, args.membership_pools)):
-            order = pool_rng.permutation(len(splits["train"]))
-            shuffled = [splits["train"][int(i)] for i in order]
-            stacked_pools.append(jax.tree.map(
-                jnp.asarray,
-                stack_batches(list(batch_iterator(shuffled, spec))),
-            ))
-        num_train_batches = (
-            len(splits["train"]) + spec.num_graphs - 1
-        ) // spec.num_graphs
-    # pad once, stack, device-put: each eval pass / refresh is ONE
-    # device dispatch (pooled scan)
-    def _stack(graphs):
-        return jax.tree.map(
-            jnp.asarray, stack_batches(list(batch_iterator(graphs, spec)))
+        stacked_pools, num_train_batches = stacked_batch_pools(
+            splits["train"], spec, k=args.membership_pools, seed=args.seed
         )
-
-    val_stack = _stack(splits["val"])
-    test_stack = _stack(splits["test"])
-    refresh_stack = _stack(splits["train"][: 8 * args.batch_size])
+    val_stack = stack_split(splits["val"], spec)
+    test_stack = stack_split(splits["test"], spec)
+    refresh_stack = stack_split(splits["train"][: 8 * args.batch_size], spec)
     eval_pool = make_pool_eval_step(
         model, node_level=True, bn_mode=args.bn_eval
     )

@@ -82,3 +82,36 @@ def test_prefetched_shuffle_covers_all(rng):
     ):
         ys.extend(np.asarray(b.y)[np.asarray(b.graph_mask), 0].tolist())
     assert sorted(ys) == [float(i) for i in range(10)]
+
+
+def test_stacked_batch_pools_and_stack_split(rng):
+    from escgnn_tpu.data.prefetch import stack_split, stacked_batch_pools
+
+    graphs = []
+    for i in range(10):
+        n, ei = random_graph(rng, max_n=6)
+        graphs.append(GraphData(
+            num_nodes=n, edge_index=ei,
+            x=rng.normal(size=(n, 2)).astype(np.float32),
+            y=np.asarray([float(i)], np.float32),
+        ))
+    spec = BatchSpec.from_graphs(graphs, batch_size=4)
+
+    # stack_split: leading axis == batch count, slices == batch_iterator
+    stacked = stack_split(graphs, spec)
+    plain = list(batch_iterator(graphs, spec))
+    assert np.asarray(stacked.y).shape[0] == len(plain)
+    for i, b in enumerate(plain):
+        np.testing.assert_array_equal(np.asarray(stacked.y)[i], b.y)
+        np.testing.assert_array_equal(np.asarray(stacked.x)[i], b.x)
+
+    # pools: every pool covers all graphs; num_batches is the ceil count
+    pools, nb = stacked_batch_pools(graphs, spec, k=3, seed=0)
+    assert len(pools) == 3 and nb == 3
+    for p in pools:
+        ys = np.asarray(p.y)[np.asarray(p.graph_mask)].ravel()
+        assert sorted(ys.tolist()) == [float(i) for i in range(10)]
+    # the byte budget caps k (one pool here is far over 1 byte)
+    few, _ = stacked_batch_pools(graphs, spec, k=3, seed=0,
+                                 max_total_bytes=1)
+    assert len(few) == 1

@@ -38,13 +38,13 @@ def test_graphlets_known_shapes():
     # P4 path: one P4, zero others
     p4 = undirected([(0, 1), (1, 2), (2, 3)])
     c = count_graphlets_per_node(4, p4)
-    assert np.array_equal(c, np.tile([0, 0, 0, 1], (4, 1)))
+    assert np.array_equal(c, np.tile([0, 0, 0, 1, 0], (4, 1)))
 
     # tailed triangle: triangle 0-1-2 + tail 2-3
     tt = undirected([(0, 1), (1, 2), (2, 0), (2, 3)])
     c = count_graphlets_per_node(4, tt)
     assert np.array_equal(c[:, 0], [1, 1, 1, 1])
-    assert c[:, [1, 2, 3]].sum() == 0
+    assert c[:, [1, 2, 3, 4]].sum() == 0
 
     # diamond (chordal cycle): C4 + one chord
     dm = undirected([(0, 1), (1, 2), (2, 3), (3, 0), (0, 2)])
@@ -55,4 +55,28 @@ def test_graphlets_known_shapes():
     a, b = np.nonzero(1 - np.eye(4))
     c = count_graphlets_per_node(4, np.stack([a, b]))
     assert np.array_equal(c[:, 2], [1, 1, 1, 1])
-    assert c[:, [0, 1, 3]].sum() == 0
+    assert c[:, [0, 1, 3, 4]].sum() == 0
+
+
+def test_triangle_rectangle():
+    # triangle 0-1-2 sharing node 2 with chordless 4-cycle 2-3-4-5
+    tr = undirected(
+        [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 5), (5, 2)]
+    )
+    c = count_graphlets_per_node(6, tr)
+    assert np.array_equal(c[:, 4], [1, 1, 1, 1, 1, 1])
+
+    # adding a chord 3-5 destroys the chordless 4-cycle -> TR count 0
+    tr_chord = undirected(
+        [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 5), (5, 2), (3, 5)]
+    )
+    c = count_graphlets_per_node(6, tr_chord)
+    assert c[:, 4].sum() == 0
+
+    # an extra edge between the triangle and the far rectangle corner
+    # breaks inducedness (8 edges in the 6-node subgraph)
+    tr_extra = undirected(
+        [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 5), (5, 2), (0, 4)]
+    )
+    c = count_graphlets_per_node(6, tr_extra)
+    assert c[:, 4].sum() == 0
