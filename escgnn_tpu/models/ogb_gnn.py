@@ -10,7 +10,10 @@ Capability mirror of reference `ogb_mol_gnn.py`:
     layers, per-layer virtual-node broadcast + add-pool update, BN,
     dropout (no ReLU on last layer), optional residual, JK last/sum.
   * GNN wrapper (`ogb_mol_gnn.py:66-261`): graph pooling zoo
-    (sum/mean/max/attention/combine-with-PNA-scalers) + prediction head.
+    (sum/mean/max/attention/set2set/sort/combine-with-PNA-scalers),
+    subgraph pooling stage for two-level (copy-based) batches
+    (sum/mean/max/attention/center/combine, `ogb_mol_gnn.py:172-207,
+    218-233,255-258`) + prediction head.
 """
 
 from __future__ import annotations
@@ -97,7 +100,13 @@ class OgbGNNConfig:
     virtual_node: bool = True
     residual: bool = False
     jk: str = "last"  # last | sum
-    graph_pooling: str = "mean"  # sum | mean | max | attention | combine
+    # sum | mean | max | attention | combine | set2set | sort
+    graph_pooling: str = "mean"
+    # applied between node and graph level when the batch carries
+    # subgraph-copy segments (node_segment/segment_graph):
+    # sum | mean | max | attention | center | combine
+    subgraph_pooling: str = "mean"
+    sort_k: int = 20  # reference `self.k = 20` (ogb_mol_gnn.py:148)
     z_dim: int = 1800
 
 
@@ -205,6 +214,13 @@ class OgbGNN(nn.Module):
         h = GNNNodeEfficient(cfg, name="gnn_node")(batch, **kw)
         ids, G, mask = batch.node_graph, batch.num_graphs, batch.node_mask
 
+        if batch.node_segment is not None:
+            # two-level (copy-based) batch: subgraph pooling stage first
+            # (reference GNN.forward, ogb_mol_gnn.py:255-258), then the
+            # graph pooling below runs over subgraph rows
+            h = self._subpool(h, batch, use_running_average)
+            ids, mask = batch.segment_graph, batch.segment_mask
+
         if cfg.graph_pooling == "sum":
             g = segment_sum(h, ids, G, mask=mask)
         elif cfg.graph_pooling == "mean":
@@ -242,7 +258,89 @@ class OgbGNN(nn.Module):
             g = nn.relu(g)
             g = TorchDense(cfg.emb_dim, name="graph_nn_1")(g)
             g = nn.relu(g)
+        elif cfg.graph_pooling == "set2set":
+            # Set2Set(emb_dim, processing_steps=2) -> (G, 2*emb_dim) head
+            # (ogb_mol_gnn.py:146-147,165-166)
+            from escgnn_tpu.models.pooling import Set2Set
+
+            g = Set2Set(processing_steps=2, name="set2set")(
+                h, batch, ids=ids, mask=mask
+            )
+        elif cfg.graph_pooling == "sort":
+            # DGCNN sort-pool readout (ogb_mol_gnn.py:147-161):
+            # top-k node rows -> Conv1d(1,16,D,stride D) == per-slot
+            # dense -> MaxPool1d(2,2) -> Conv1d(16,32,5) -> flatten
+            if batch.node_segment is not None:
+                raise ValueError(
+                    "graph_pooling='sort' supports flat batches only"
+                )
+            from escgnn_tpu.models.pooling import global_sort_pool
+
+            k = cfg.sort_k
+            m = max(-(-h.shape[0] // max(G, 1)), k)
+            z = global_sort_pool(h, batch, k, m).reshape(G, k, cfg.emb_dim)
+            c = nn.relu(TorchDense(16, name="conv1d_params1")(z))
+            c = jnp.max(c.reshape(G, k // 2, 2, 16), axis=2)
+            c = nn.relu(
+                nn.Conv(32, (5,), padding="VALID", name="conv1d_params2")(c)
+            )
+            g = c.reshape(G, -1)
         else:
             raise ValueError(cfg.graph_pooling)
 
         return TorchDense(cfg.num_tasks, name="graph_pred_linear")(g)
+
+    def _subpool(self, h, batch: GraphBatch, use_running_average: bool):
+        """node -> subgraph-copy pooling (reference `subpool`,
+        ogb_mol_gnn.py:172-207; combine = cat[mean,max,min,std,center]
+        x [identity, amplification, attenuation] -> sub_nn,
+        `combine_pool_sub` ogb_mol_gnn.py:225-233)."""
+        cfg = self.cfg
+        ids, mask = batch.node_segment, batch.node_mask
+        S = batch.segment_mask.shape[0]
+
+        def center(x):
+            # center = root = first node of each copy (the transform
+            # places the root first; same convention as models/ngnn.py)
+            idx = jnp.arange(x.shape[0])
+            big = jnp.where(mask, idx, x.shape[0])
+            first = jax.ops.segment_min(big, ids, S)
+            return jnp.take(x, jnp.minimum(first, x.shape[0] - 1), axis=0)
+
+        if cfg.subgraph_pooling == "sum":
+            return segment_sum(h, ids, S, mask=mask)
+        if cfg.subgraph_pooling == "mean":
+            return segment_mean(h, ids, S, mask=mask)
+        if cfg.subgraph_pooling == "max":
+            return segment_max(h, ids, S, mask=mask)
+        if cfg.subgraph_pooling == "center":
+            return center(h)
+        if cfg.subgraph_pooling == "attention":
+            gate = TorchDense(2 * cfg.emb_dim, name="sub_gate_0")(h)
+            gate = MaskedBatchNorm(name="sub_gate_bn")(
+                gate, mask, use_running_average
+            )
+            gate = TorchDense(1, name="sub_gate_1")(nn.relu(gate))[:, 0]
+            w = segment_softmax(gate, ids, S, mask=mask)
+            return segment_sum(h * w[:, None], ids, S, mask=mask)
+        if cfg.subgraph_pooling == "combine":
+            agg = jnp.concatenate(
+                [
+                    segment_mean(h, ids, S, mask=mask),
+                    segment_max(h, ids, S, mask=mask),
+                    segment_min(h, ids, S, mask=mask),
+                    _std_pool(h, ids, S, mask),
+                    center(h),
+                ],
+                axis=-1,
+            )
+            deg = segment_sum(mask.astype(h.dtype), ids, S)[:, None]
+            logd = jnp.log(deg + 1.0)
+            avg_logd = jnp.sum(logd * deg) / jnp.maximum(jnp.sum(deg), 1.0)
+            g = jnp.concatenate(
+                [agg, agg * logd / avg_logd, agg * avg_logd / (logd + 1e-6)],
+                axis=-1,
+            )
+            g = nn.relu(TorchDense(cfg.emb_dim, name="sub_nn_0")(g))
+            return nn.relu(TorchDense(cfg.emb_dim, name="sub_nn_1")(g))
+        raise ValueError(cfg.subgraph_pooling)

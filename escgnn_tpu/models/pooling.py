@@ -82,7 +82,11 @@ class Set2Set(nn.Module):
     processing_steps: int = 3
 
     @nn.compact
-    def __call__(self, x, batch: GraphBatch):
+    def __call__(self, x, batch: GraphBatch, ids=None, mask=None):
+        # ids/mask default to node->graph; pass segment->graph ids to
+        # pool subgraph rows instead (OgbGNN two-level path)
+        ids = batch.node_graph if ids is None else ids
+        mask = batch.node_mask if mask is None else mask
         G = batch.num_graphs
         F = x.shape[-1]
         lstm = nn.OptimizedLSTMCell(F, name="lstm")
@@ -93,13 +97,9 @@ class Set2Set(nn.Module):
         q_star = jnp.zeros((G, 2 * F), x.dtype)
         for _ in range(self.processing_steps):
             carry, q = lstm(carry, q_star)
-            e = jnp.sum(x * q[batch.node_graph], axis=-1)
-            a = segment_softmax(
-                e, batch.node_graph, G, mask=batch.node_mask
-            )
-            r = segment_sum(
-                x * a[:, None], batch.node_graph, G, mask=batch.node_mask
-            )
+            e = jnp.sum(x * q[ids], axis=-1)
+            a = segment_softmax(e, ids, G, mask=mask)
+            r = segment_sum(x * a[:, None], ids, G, mask=mask)
             q_star = jnp.concatenate([q, r], axis=-1)
         return q_star
 

@@ -50,7 +50,14 @@ def main():
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--epochs", type=int, default=20)
     p.add_argument("--num_tasks", type=int, default=1)
-    p.add_argument("--graph_pooling", default="mean")
+    p.add_argument("--graph_pooling", default="mean",
+                   choices=["sum", "mean", "max", "attention", "combine",
+                            "set2set", "sort"])
+    p.add_argument("--subgraph_pooling", default="mean",
+                   choices=["sum", "mean", "max", "attention", "center",
+                            "combine"],
+                   help="pooling of the copy level when a two-level batch "
+                        "rides in (reference GNN subpool)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--num_graphs", type=int, default=1000)
     p.add_argument("--num_workers", type=int, default=2)
@@ -105,6 +112,7 @@ def main():
             dropout=args.drop_ratio,
             virtual_node=True,
             graph_pooling=args.graph_pooling,
+            subgraph_pooling=args.subgraph_pooling,
         )
     )
     rng = jax.random.key(args.seed)

@@ -34,7 +34,9 @@ def test_ogb_forward_and_loss(ogb_batch):
     assert np.isfinite(float(loss))
 
 
-@pytest.mark.parametrize("pooling", ["sum", "max", "attention", "combine"])
+@pytest.mark.parametrize(
+    "pooling", ["sum", "max", "attention", "combine", "set2set", "sort"]
+)
 def test_ogb_pooling_zoo(ogb_batch, pooling):
     cfg = OgbGNNConfig(
         num_tasks=1, num_layers=1, emb_dim=8, dropout=0.0,
@@ -76,3 +78,29 @@ def test_masked_bce_ignores_nan():
     # all labeled, unmasked entries are confidently correct -> tiny loss;
     # the NaN entry (logit 999) and padded graph must not contribute
     assert loss < 0.05
+
+
+@pytest.mark.parametrize(
+    "subpool", ["sum", "mean", "max", "attention", "center", "combine"]
+)
+def test_ogb_subgraph_pooling_stage(ogb_batch, subpool):
+    # synthesize a trivial two-level batch: one "copy" per graph, so the
+    # subpool stage runs over real segment ids and the graph pooling
+    # runs over segment rows (wiring/shape check for every mode)
+    import dataclasses as dc
+
+    b = dc.replace(
+        ogb_batch,
+        node_segment=ogb_batch.node_graph,
+        segment_graph=jnp.arange(ogb_batch.num_graphs, dtype=jnp.int32),
+        segment_mask=jnp.ones(ogb_batch.num_graphs, bool),
+    )
+    cfg = OgbGNNConfig(
+        num_tasks=1, num_layers=1, emb_dim=8, dropout=0.0,
+        graph_pooling="mean", subgraph_pooling=subpool, virtual_node=False,
+    )
+    model = OgbGNN(cfg)
+    variables = model.init(jax.random.key(0), b)
+    out = model.apply(variables, b)
+    assert out.shape == (b.num_graphs, 1)
+    assert np.all(np.isfinite(np.asarray(out)))
