@@ -108,6 +108,12 @@ class OgbGNNConfig:
     subgraph_pooling: str = "mean"
     sort_k: int = 20  # reference `self.k = 20` (ogb_mol_gnn.py:148)
     z_dim: int = 1800
+    # random node initialization: h0 += U(-1, 1) per feature, an
+    # expressiveness baseline (`ogb_mol_gnn.py:719-721`); uses the
+    # "rni" rng stream, active only when deterministic=False
+    rni: bool = False
+    # feed raw batch.x as h0 (ogbg-ppa-style, `ogb_mol_gnn.py:705-708`)
+    skip_node_encoder: bool = False
 
 
 class GNNNodeEfficient(nn.Module):
@@ -115,7 +121,8 @@ class GNNNodeEfficient(nn.Module):
 
     @nn.compact
     def __call__(
-        self, batch: GraphBatch, *, deterministic: bool, use_running_average: bool,
+        self, batch: GraphBatch, *, deterministic: bool,
+        use_running_average: bool, perturb=None,
     ):
         cfg = self.cfg
         d = cfg.emb_dim
@@ -126,9 +133,21 @@ class GNNNodeEfficient(nn.Module):
             deterministic=deterministic, use_running_average=use_running_average
         )
 
-        h = FeatureSumEncoder(ATOM_FEATURE_DIMS, d, name="node_encoder")(
-            batch.x.astype(jnp.int32)
-        )
+        if cfg.skip_node_encoder:
+            h = batch.x.astype(jnp.float32)
+        else:
+            h = FeatureSumEncoder(ATOM_FEATURE_DIMS, d, name="node_encoder")(
+                batch.x.astype(jnp.int32)
+            )
+        if cfg.rni and not deterministic:
+            h = h + jax.random.uniform(
+                self.make_rng("rni"), h.shape, h.dtype, -1.0, 1.0
+            )
+        if perturb is not None:
+            # FLAG-style adversarial input perturbation
+            # (`ogb_mol_gnn.py:726-727`): added to h0 so its gradient
+            # drives the ascent step in the training loop
+            h = h + perturb
 
         z_table = self.param(
             "z_initial", nn.initializers.normal(1.0), (cfg.z_dim, d)
@@ -144,11 +163,28 @@ class GNNNodeEfficient(nn.Module):
                 "virtualnode_embedding", nn.initializers.zeros, (d,)
             )
 
+        # center_pool_virtual (`ogb_mol_gnn.py:731-738`): with center
+        # subgraph pooling on a two-level batch, the virtual node reaches
+        # only each copy's root node instead of every node
+        center_vn = (
+            cfg.virtual_node
+            and cfg.subgraph_pooling == "center"
+            and batch.node_segment is not None
+        )
+        if center_vn:
+            S = batch.segment_mask.shape[0]
+            idx = jnp.where(node_mask, jnp.arange(N), N)
+            first = jax.ops.segment_min(idx, batch.node_segment, S)
+            is_root = (idx == jnp.take(first, batch.node_segment)) & node_mask
+
         h_list = [h]
         for layer in range(cfg.num_layers):
             hcur = h_list[layer]
             if cfg.virtual_node:
-                hcur = hcur + jnp.take(vn, batch.node_graph, axis=0)
+                vn_nodes = jnp.take(vn, batch.node_graph, axis=0)
+                if center_vn:
+                    vn_nodes = jnp.where(is_root[:, None], vn_nodes, 0.0)
+                hcur = hcur + vn_nodes
                 h_list[layer] = hcur
             h = GINConvEff(d, name=f"conv{layer}")(
                 hcur, batch.senders, batch.receivers, batch.edge_attr,
@@ -206,12 +242,15 @@ class OgbGNN(nn.Module):
         *,
         deterministic: bool = True,
         use_running_average: bool = True,
+        perturb=None,
     ):
         cfg = self.cfg
         kw = dict(
             deterministic=deterministic, use_running_average=use_running_average
         )
-        h = GNNNodeEfficient(cfg, name="gnn_node")(batch, **kw)
+        h = GNNNodeEfficient(cfg, name="gnn_node")(
+            batch, perturb=perturb, **kw
+        )
         ids, G, mask = batch.node_graph, batch.num_graphs, batch.node_mask
 
         if batch.node_segment is not None:

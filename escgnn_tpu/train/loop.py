@@ -141,7 +141,7 @@ def make_train_step(
                 deterministic=False,
                 use_running_average=False,
                 mutable=["batch_stats"],
-                rngs={"dropout": rng},
+                rngs={"dropout": rng, "rni": jax.random.fold_in(rng, 7)},
             )
             return loss_fn(out, batch), mut["batch_stats"]
 
@@ -187,7 +187,7 @@ def make_multi_train_step(
                 deterministic=False,
                 use_running_average=False,
                 mutable=["batch_stats"],
-                rngs={"dropout": step_rng},
+                rngs={"dropout": step_rng, "rni": jax.random.fold_in(step_rng, 7)},
             )
             return loss_fn(out, batch), mut["batch_stats"]
 
@@ -238,7 +238,7 @@ def make_pool_train_step(
                 deterministic=False,
                 use_running_average=False,
                 mutable=["batch_stats"],
-                rngs={"dropout": step_rng},
+                rngs={"dropout": step_rng, "rni": jax.random.fold_in(step_rng, 7)},
             )
             return loss_fn(out, batch), mut["batch_stats"]
 

@@ -58,6 +58,8 @@ def main():
                             "combine"],
                    help="pooling of the copy level when a two-level batch "
                         "rides in (reference GNN subpool)")
+    p.add_argument("--rni", action="store_true",
+                   help="random node initialization (h0 += U(-1,1))")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--num_graphs", type=int, default=1000)
     p.add_argument("--num_workers", type=int, default=2)
@@ -113,6 +115,7 @@ def main():
             virtual_node=True,
             graph_pooling=args.graph_pooling,
             subgraph_pooling=args.subgraph_pooling,
+            rni=args.rni,
         )
     )
     rng = jax.random.key(args.seed)
@@ -146,7 +149,7 @@ def main():
                 deterministic=False,
                 use_running_average=False,
                 mutable=["batch_stats"],
-                rngs={"dropout": rng},
+                rngs={"dropout": rng, "rni": jax.random.fold_in(rng, 7)},
             )
             return masked_bce_with_logits(out, batch), mut["batch_stats"]
 

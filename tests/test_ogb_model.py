@@ -104,3 +104,66 @@ def test_ogb_subgraph_pooling_stage(ogb_batch, subpool):
     out = model.apply(variables, b)
     assert out.shape == (b.num_graphs, 1)
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_ogb_rni_perturb_skip_encoder(ogb_batch):
+    import dataclasses as dc
+
+    cfg = OgbGNNConfig(
+        num_tasks=1, num_layers=1, emb_dim=8, dropout=0.0,
+        virtual_node=False, rni=True,
+    )
+    model = OgbGNN(cfg)
+    variables = model.init(
+        {"params": jax.random.key(0), "rni": jax.random.key(1)}, ogb_batch
+    )
+    # RNI draws from the "rni" stream when deterministic=False:
+    # different keys -> different outputs; deterministic -> no noise
+    o1 = model.apply(variables, ogb_batch, deterministic=False,
+                     rngs={"rni": jax.random.key(1)})
+    o2 = model.apply(variables, ogb_batch, deterministic=False,
+                     rngs={"rni": jax.random.key(2)})
+    od = model.apply(variables, ogb_batch, deterministic=True)
+    assert not np.allclose(np.asarray(o1), np.asarray(o2))
+    assert np.all(np.isfinite(np.asarray(od)))
+
+    # FLAG perturb hook: gradient w.r.t. the perturbation is nonzero
+    cfg2 = dc.replace(cfg, rni=False)
+    model2 = OgbGNN(cfg2)
+    v2 = model2.init(jax.random.key(0), ogb_batch)
+    p0 = jnp.zeros((ogb_batch.num_nodes, cfg2.emb_dim))
+
+    def f(p):
+        return jnp.sum(model2.apply(v2, ogb_batch, perturb=p) ** 2)
+
+    g = jax.grad(f)(p0)
+    assert float(jnp.sum(jnp.abs(g))) > 0.0
+
+    # skip_node_encoder: h0 = raw x (needs x width == emb_dim)
+    cfg3 = dc.replace(cfg, rni=False, skip_node_encoder=True, emb_dim=9)
+    b3 = dc.replace(ogb_batch, x=ogb_batch.x.astype(jnp.float32))
+    model3 = OgbGNN(cfg3)
+    v3 = model3.init(jax.random.key(0), b3)
+    assert "node_encoder" not in v3["params"]["gnn_node"]
+    out3 = model3.apply(v3, b3)
+    assert np.all(np.isfinite(np.asarray(out3)))
+
+
+def test_ogb_center_pool_virtual(ogb_batch):
+    import dataclasses as dc
+
+    b = dc.replace(
+        ogb_batch,
+        node_segment=ogb_batch.node_graph,
+        segment_graph=jnp.arange(ogb_batch.num_graphs, dtype=jnp.int32),
+        segment_mask=jnp.ones(ogb_batch.num_graphs, bool),
+    )
+    cfg = OgbGNNConfig(
+        num_tasks=1, num_layers=2, emb_dim=8, dropout=0.0,
+        virtual_node=True, subgraph_pooling="center",
+    )
+    model = OgbGNN(cfg)
+    variables = model.init(jax.random.key(0), b)
+    out = model.apply(variables, b)
+    assert out.shape == (b.num_graphs, 1)
+    assert np.all(np.isfinite(np.asarray(out)))
