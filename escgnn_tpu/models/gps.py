@@ -147,6 +147,10 @@ class DenseAttention(nn.Module):
                 bb[None, None, :, :], logits, jnp.finfo(jnp.float32).min
             )
         attn = jax.nn.softmax(logits, axis=-1)
+        # exposed for the attention-dump inference mode (reference
+        # custom_train.py:317); a no-op unless the caller makes the
+        # "intermediates" collection mutable
+        self.sow("intermediates", "attn_weights", attn)
         out = jnp.einsum(
             "ghmn,gnhd->gmhd", attn, v, preferred_element_type=jnp.float32
         ).reshape(G, M, D)

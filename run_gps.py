@@ -277,6 +277,37 @@ def run_eval_only(cfg, ckpt_dir: str):
         "ckpt_step": int(state.step),
     }))
 
+    return model, state, splits, spec
+
+
+def dump_attention(model, state, splits, spec, out_path: str):
+    """Attention-weight dump over the first test batch (the reference's
+    attention-extraction inference mode, custom_train.py:317): every GPS
+    layer's dense-attention weights (G, heads, M, M) saved to one npz."""
+    b = jax.tree.map(jnp.asarray, next(batch_iterator(splits["test"], spec)))
+    _, inter = model.apply(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        b,
+        deterministic=True,
+        use_running_average=True,
+        mutable=["intermediates"],
+    )
+    flat = jax.tree_util.tree_flatten_with_path(inter["intermediates"])[0]
+    out = {}
+    for path, val in flat:
+        name = "/".join(
+            getattr(k, "key", str(k)) for k in path
+        ).replace("/attn_weights/0", "")
+        out[name] = np.asarray(val)
+    if not out:
+        raise SystemExit(
+            "no attention weights captured — the config's global model "
+            "has no dense attention (try global_model transformer/bigbird)"
+        )
+    np.savez_compressed(out_path, **out)
+    print(f"dumped {len(out)} attention tensors to {out_path}: "
+          f"{sorted(out)[:4]}...")
+
 
 def main():
     p = argparse.ArgumentParser()
@@ -285,12 +316,17 @@ def main():
                    help="restore the checkpoint dir and only evaluate "
                         "(the reference's inference-only mode, "
                         "custom_train.py:219)")
+    p.add_argument("--dump_attn", default=None, metavar="NPZ_PATH",
+                   help="with --eval_only: also dump per-layer attention "
+                        "weights of the first test batch")
     p.add_argument("opts", nargs="*", help="dotted key value overrides")
     args = p.parse_args()
 
     cfg = load_cfg(args.cfg, args.opts)
     if args.eval_only:
-        run_eval_only(cfg, args.eval_only)
+        model, state, splits, spec = run_eval_only(cfg, args.eval_only)
+        if args.dump_attn:
+            dump_attention(model, state, splits, spec, args.dump_attn)
         return
     out_dir = os.path.join(
         cfg.out_dir, time.strftime("%Y%m%d%H%M%S")

@@ -141,3 +141,20 @@ def test_bigbird_mask_pattern():
     # random keys add extra attendable pairs beyond window+global
     m_r = np.asarray(_bigbird_mask(16, 2, 2, 2))
     assert m_r.sum() > m.sum()
+
+
+def test_attention_weight_capture(gps_batch):
+    # the --dump_attn inference mode: intermediates carry per-layer
+    # softmax weights that sum to 1 over real keys
+    cfg = GPSConfig(dim_h=16, num_layers=2, num_heads=2, use_attn_bias=True)
+    model = GPSModel(cfg)
+    variables = model.init(jax.random.key(0), gps_batch)
+    _, inter = model.apply(
+        variables, gps_batch, mutable=["intermediates"]
+    )
+    leaves = jax.tree_util.tree_leaves(inter["intermediates"])
+    assert len(leaves) == 2  # one per layer
+    for w in leaves:
+        assert w.ndim == 4  # (G, heads, M, M)
+        rows = np.asarray(w).sum(-1)
+        assert np.allclose(rows[np.isfinite(rows)], 1.0, atol=1e-5)
