@@ -115,6 +115,7 @@ DEFAULTS = {
         "use_esc": True,
         "use_attn_bias": True,
         "use_lap_pe": False,
+        "use_signnet": False,
         "use_rwse": False,
         "use_degree": False,
         "pool": "add",

@@ -55,6 +55,11 @@ class GPSConfig:
     # extras produced by featurize/posenc.py are projected and added to
     # the node state before layer 0.
     use_lap_pe: bool = False  # extras["lap_pe"] -> linear (LapPE/SignNet-lite)
+    # full SignNet encoder (Lim et al.; reference
+    # graphgps/encoder/signnet_pos_encoder.py): per-eigenvector DeepSets
+    # phi(v, lambda) + phi(-v, lambda) -> rho; strictly sign-invariant
+    use_signnet: bool = False
+    signnet_phi_dim: int = 16
     use_rwse: bool = False  # extras["rwse"] -> linear (RWSE)
     use_degree: bool = False  # extras["degree"] -> Embed (Graphormer degree)
     degree_vocab: int = 64
@@ -339,6 +344,21 @@ class GPSModel(nn.Module):
             pe = ex["lap_pe"].astype(jnp.float32)
             feats = jnp.concatenate([pe, jnp.abs(pe)], axis=-1)
             h = h + TorchDense(D, name="lap_pe_encoder")(feats)
+        if cfg.use_signnet:
+            pe = ex["lap_pe"].astype(jnp.float32)        # (N, K)
+            ev = ex["lap_eigvals"].astype(jnp.float32)   # (N, K)
+            F = cfg.signnet_phi_dim
+            phi1 = TorchDense(F, name="signnet_phi1")
+            phi2 = TorchDense(F, name="signnet_phi2")
+
+            def phi(v):
+                z = jnp.stack([v, ev], axis=-1)          # (N, K, 2)
+                return phi2(nn.relu(phi1(z)))            # (N, K, F)
+
+            z = phi(pe) + phi(-pe)                       # sign-invariant
+            h = h + TorchDense(D, name="signnet_rho")(
+                z.reshape(z.shape[0], -1)
+            )
         if cfg.use_rwse:
             h = h + TorchDense(D, name="rwse_encoder")(
                 ex["rwse"].astype(jnp.float32)

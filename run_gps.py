@@ -81,7 +81,7 @@ def build_dataset(cfg, seed: int):
             if d.attn_bias:
                 out = [attach_attn_bias(g) for g in out]
             m = cfg.model
-            if m.use_lap_pe:
+            if m.use_lap_pe or m.use_signnet:
                 out = [attach_lap_pe(g, k=cfg.posenc.lap_pe_k) for g in out]
             if m.use_rwse:
                 out = [attach_rwse(g, k=cfg.posenc.rwse_k) for g in out]
@@ -92,7 +92,7 @@ def build_dataset(cfg, seed: int):
         m = cfg.model
         key = (
             f"gps_{name}_n{d.num_graphs}_s{seed}_{ecfg.cache_key()}"
-            f"_bias{int(d.attn_bias)}_pe{int(m.use_lap_pe)}"
+            f"_bias{int(d.attn_bias)}_pe{int(m.use_lap_pe or m.use_signnet)}"
             f"{int(m.use_rwse)}{int(m.use_degree)}"
         )
         splits[name] = cached_featurize(
@@ -140,7 +140,8 @@ def _gps_config(cfg, splits) -> GPSConfig:
         dropout=m.dropout, attn_dropout=m.attn_dropout,
         local_model=m.local_model, global_model=m.global_model,
         use_esc=m.use_esc, use_attn_bias=m.use_attn_bias,
-        use_lap_pe=m.use_lap_pe, use_rwse=m.use_rwse,
+        use_lap_pe=m.use_lap_pe, use_signnet=m.use_signnet,
+        use_rwse=m.use_rwse,
         use_degree=m.use_degree, pool=m.pool, out_dim=m.out_dim,
         node_vocab=m.node_vocab, edge_vocab=m.edge_vocab,
         **kw,

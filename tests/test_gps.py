@@ -158,3 +158,44 @@ def test_attention_weight_capture(gps_batch):
         assert w.ndim == 4  # (G, heads, M, M)
         rows = np.asarray(w).sum(-1)
         assert np.allclose(rows[np.isfinite(rows)], 1.0, atol=1e-5)
+
+
+def test_signnet_encoder_sign_invariant(gps_batch):
+    import dataclasses as dc
+
+    from escgnn_tpu.featurize.posenc import attach_lap_pe
+
+    # rebuild a small batch with lap_pe attached
+    rng = np.random.default_rng(1)
+    cfg_esc = EscConfig(h=2, use_rd=True, self_loop=True)
+    graphs = []
+    for _ in range(2):
+        n, ei = random_graph(rng, max_n=8)
+        g = GraphData(
+            num_nodes=n, edge_index=ei,
+            x=rng.integers(0, 20, n).astype(np.int32)[:, None],
+            edge_attr=rng.integers(1, 4, ei.shape[1]).astype(np.int32),
+            y=rng.normal(size=(1,)).astype(np.float32),
+        )
+        g = attach_lap_pe(attach_attn_bias(esc_transform(g, cfg_esc)), k=4)
+        graphs.append(g)
+    spec = BatchSpec.from_graphs(graphs, batch_size=2)
+    b = jax.tree.map(jnp.asarray, pad_and_batch(graphs, spec))
+
+    cfg = GPSConfig(
+        dim_h=16, num_layers=1, num_heads=2, use_attn_bias=True,
+        use_signnet=True,
+    )
+    model = GPSModel(cfg)
+    variables = model.init(jax.random.key(0), b)
+    out = model.apply(variables, b)
+
+    # flipping every eigenvector's sign must not change the output
+    ex = dict(b.extras)
+    ex["lap_pe"] = -ex["lap_pe"]
+    b_flip = dc.replace(b, extras=ex)
+    out_flip = model.apply(variables, b_flip)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(out_flip), rtol=1e-5, atol=1e-5
+    )
+    assert "signnet_rho" in variables["params"]
