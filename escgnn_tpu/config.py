@@ -87,10 +87,13 @@ DEFAULTS = {
     "seed": 0,
     "run_multiple_splits": [],
     "dataset": {
+        # zinc | zinc-synthetic | count_cycle | count_graphlet |
+        # qm9-synthetic (run_gps.build_dataset — the master_loader zoo)
         "name": "zinc-synthetic",
         "dir": "data",
         "num_graphs": 512,  # synthetic fallback size
         "task": "regression",  # regression | classification
+        "target": 0,  # y column for counting / qm9
         "node_encoder": "embed",
         "edge_encoder": "embed",
         # ESC structural pre-transform (reference utils_escgnn.py)
@@ -119,6 +122,7 @@ DEFAULTS = {
         "use_rwse": False,
         "use_degree": False,
         "pool": "add",
+        "graph_pred": True,  # False -> node-level head (counting)
         "out_dim": 1,
         "node_vocab": 100,
         "edge_vocab": 100,

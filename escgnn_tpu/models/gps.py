@@ -62,6 +62,12 @@ class GPSConfig:
     signnet_phi_dim: int = 16
     use_rwse: bool = False  # extras["rwse"] -> linear (RWSE)
     use_degree: bool = False  # extras["degree"] -> Embed (Graphormer degree)
+    # input featurization (the master_loader dataset zoo spans int-vocab
+    # molecules, float-feature counting graphs, and continuous QM9 bonds):
+    # embed = int vocab (first column); linear = Dense on float features;
+    # none (edges only) = learned constant edge embedding
+    node_encoder_kind: str = "embed"  # embed | linear
+    edge_encoder_kind: str = "embed"  # embed | linear | none
     degree_vocab: int = 64
     node_vocab: int = 100
     edge_vocab: int = 100
@@ -334,10 +340,15 @@ class GPSModel(nn.Module):
     ):
         cfg = self.cfg
         D = cfg.dim_h
-        h = nn.Embed(
-            cfg.node_vocab, D, embedding_init=nn.initializers.normal(1.0),
-            name="node_encoder",
-        )(batch.x.astype(jnp.int32).reshape(batch.x.shape[0]))
+        if cfg.node_encoder_kind == "linear":
+            h = TorchDense(D, name="node_encoder")(
+                batch.x.astype(jnp.float32)
+            )
+        else:
+            h = nn.Embed(
+                cfg.node_vocab, D, embedding_init=nn.initializers.normal(1.0),
+                name="node_encoder",
+            )(batch.x.astype(jnp.int32).reshape(batch.x.shape[0]))
         ex = batch.extras or {}
         if cfg.use_lap_pe:
             # sign-invariance-lite: |v| and v both projected (cheap SignNet)
@@ -369,10 +380,25 @@ class GPSModel(nn.Module):
                 embedding_init=nn.initializers.normal(0.02),
                 name="degree_encoder",
             )(ex["degree"].astype(jnp.int32).reshape(-1))
-        edge_attr = nn.Embed(
-            cfg.edge_vocab, D, embedding_init=nn.initializers.normal(1.0),
-            name="edge_encoder",
-        )(batch.edge_attr.astype(jnp.int32).reshape(batch.edge_attr.shape[0]))
+        if cfg.edge_encoder_kind == "none":
+            # edge-featureless datasets (counting): one learned embedding
+            edge_attr = jnp.broadcast_to(
+                self.param("edge_const", nn.initializers.normal(1.0), (D,)),
+                (batch.num_edges, D),
+            )
+        elif cfg.edge_encoder_kind == "linear":
+            edge_attr = TorchDense(D, name="edge_encoder")(
+                batch.edge_attr.astype(jnp.float32)
+            )
+        else:
+            edge_attr = nn.Embed(
+                cfg.edge_vocab, D, embedding_init=nn.initializers.normal(1.0),
+                name="edge_encoder",
+            )(
+                batch.edge_attr.astype(jnp.int32).reshape(
+                    batch.edge_attr.shape[0]
+                )
+            )
 
         for i in range(cfg.num_layers):
             h, edge_attr = GPSLayer(cfg, name=f"layer{i}")(

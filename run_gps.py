@@ -30,7 +30,7 @@ import numpy as np
 
 from escgnn_tpu.config import agg_runs, dump_cfg, load_cfg
 from escgnn_tpu.data.batching import BatchSpec, batch_iterator
-from escgnn_tpu.data.molecules import synthetic_zinc
+from escgnn_tpu.data.molecules import synthetic_zinc, zinc_splits
 from escgnn_tpu.data.prefetch import stack_split, stacked_batch_pools
 from escgnn_tpu.featurize.cache import cached_featurize
 from escgnn_tpu.featurize.escgnn import EscConfig
@@ -52,6 +52,7 @@ from escgnn_tpu.train.loop import (
     adam_with_plateau,
     get_learning_rate,
     l1_graph_loss,
+    l1_node_loss,
     make_eval_step,
     set_learning_rate,
     make_pool_eval_step,
@@ -60,19 +61,52 @@ from escgnn_tpu.train.loop import (
 )
 
 
+def _even_splits(raw):
+    n_tr, n_val = int(0.8 * len(raw)), int(0.1 * len(raw))
+    return {
+        "train": raw[:n_tr],
+        "val": raw[n_tr:n_tr + n_val],
+        "test": raw[n_tr + n_val:],
+    }
+
+
 def build_dataset(cfg, seed: int):
+    """Dataset zoo dispatch (the reference master_loader's role,
+    `graphgps/loader/master_loader.py:29-33,380-397`): ZINC (real
+    artifact when present), synthetic ZINC/QM9, and the counting
+    benchmarks — each with the ESC pre-transform + requested posencs."""
     d = cfg.dataset
     ecfg = EscConfig(
         h=d.esc.h, use_rd=d.esc.use_rd, self_loop=d.esc.self_loop,
         max_nodes_per_hop=d.esc.max_nodes_per_hop or None,
     )
-    raw = synthetic_zinc(num_graphs=d.num_graphs, seed=seed)
-    n_tr, n_val = int(0.8 * len(raw)), int(0.1 * len(raw))
-    raw_splits = {
-        "train": raw[:n_tr],
-        "val": raw[n_tr:n_tr + n_val],
-        "test": raw[n_tr + n_val:],
-    }
+    if d.name == "zinc":
+        raw_splits, is_real = zinc_splits(
+            d.dir, num_graphs=d.num_graphs, seed=seed
+        )
+        print(f"zinc: real={is_real}")
+    elif d.name == "zinc-synthetic":
+        raw_splits = _even_splits(
+            synthetic_zinc(num_graphs=d.num_graphs, seed=seed)
+        )
+    elif d.name in ("count_cycle", "count_graphlet"):
+        from escgnn_tpu.data.counting import (
+            CountingDatasetConfig,
+            generate_counting_graphs,
+        )
+
+        raw_splits = generate_counting_graphs(CountingDatasetConfig(
+            num_graphs=d.num_graphs, seed=seed,
+            task="graphlet" if d.name == "count_graphlet" else "cycle",
+        ))
+    elif d.name == "qm9-synthetic":
+        from escgnn_tpu.data.qm9 import synthetic_qm9
+
+        raw_splits = _even_splits(
+            synthetic_qm9(num_graphs=d.num_graphs, seed=seed)
+        )
+    else:
+        raise ValueError(f"unknown dataset {d.name!r}")
     splits = {}
     for name, graphs in raw_splits.items():
         def make(graphs=graphs):
@@ -91,13 +125,24 @@ def build_dataset(cfg, seed: int):
 
         m = cfg.model
         key = (
-            f"gps_{name}_n{d.num_graphs}_s{seed}_{ecfg.cache_key()}"
+            f"gps_{d.name}_{name}_n{d.num_graphs}_s{seed}_{ecfg.cache_key()}"
             f"_bias{int(d.attn_bias)}_pe{int(m.use_lap_pe or m.use_signnet)}"
             f"{int(m.use_rwse)}{int(m.use_degree)}"
         )
         splits[name] = cached_featurize(
-            os.path.join(d.dir, "gps_synth"), key, make
+            os.path.join(d.dir, "gps_" + d.name), key, make
         )
+    if d.name in ("count_cycle", "count_graphlet"):
+        # node-level targets: select the column + standardize by the
+        # TRAIN split (same protocol as run_graphcount)
+        from escgnn_tpu.data.counting import normalize_targets
+
+        splits, mean, std = normalize_targets(splits, d.target)
+        return splits, mean, std
+    if d.name == "qm9-synthetic":
+        for s in splits.values():
+            for g in s:
+                g.y = g.y[d.target:d.target + 1]
     ys = np.concatenate([g.y for s in ("train", "val") for g in splits[s]])
     mean, std = float(ys.mean()), float(ys.std(ddof=1))
     for s in splits.values():
@@ -143,7 +188,10 @@ def _gps_config(cfg, splits) -> GPSConfig:
         use_lap_pe=m.use_lap_pe, use_signnet=m.use_signnet,
         use_rwse=m.use_rwse,
         use_degree=m.use_degree, pool=m.pool, out_dim=m.out_dim,
+        graph_pred=m.graph_pred,
         node_vocab=m.node_vocab, edge_vocab=m.edge_vocab,
+        node_encoder_kind=cfg.dataset.node_encoder,
+        edge_encoder_kind=cfg.dataset.edge_encoder,
         **kw,
     )
 
@@ -195,8 +243,11 @@ def run_one(cfg, seed: int, out_dir: str) -> dict:
     refresh_stack = stack_split(
         splits["train"][: 8 * cfg.train.batch_size], spec
     )
-    pool_train_step = make_pool_train_step(model, l1_graph_loss)
-    eval_pool = make_pool_eval_step(model, node_level=False)
+    node_level = not cfg.model.graph_pred
+    pool_train_step = make_pool_train_step(
+        model, l1_node_loss if node_level else l1_graph_loss
+    )
+    eval_pool = make_pool_eval_step(model, node_level=node_level)
     refresh_pool = make_pool_refresh_step(model)
 
     def evaluate_stack(stacked):
@@ -261,7 +312,9 @@ def run_eval_only(cfg, ckpt_dir: str):
     )
     ckpt = CheckpointManager(ckpt_dir)
     state = restore_train_state(ckpt, state)
-    eval_step = make_eval_step(model, node_level=False)
+    eval_step = make_eval_step(
+        model, node_level=not cfg.model.graph_pred
+    )
 
     def evaluate(graphs):
         tot = cnt = 0.0

@@ -199,3 +199,39 @@ def test_signnet_encoder_sign_invariant(gps_batch):
         np.asarray(out), np.asarray(out_flip), rtol=1e-5, atol=1e-5
     )
     assert "signnet_rho" in variables["params"]
+
+
+@pytest.mark.parametrize("name,node_enc,edge_enc,graph_pred", [
+    ("count_cycle", "linear", "none", False),
+    ("qm9-synthetic", "linear", "linear", True),
+])
+def test_gps_dataset_zoo(tmp_path, name, node_enc, edge_enc, graph_pred):
+    # the run_gps master-loader path: build a zoo dataset, featurize with
+    # ESC + attn_bias, and run one GPS forward with matching encoders
+    import run_gps
+    from escgnn_tpu.config import load_cfg
+
+    cfg = load_cfg(None, [
+        "dataset.name", name,
+        "dataset.num_graphs", "12",
+        "dataset.dir", str(tmp_path),
+        "dataset.node_encoder", node_enc,
+        "dataset.edge_encoder", edge_enc,
+        "dataset.esc.h", "2",
+        "model.graph_pred", str(graph_pred),
+        "model.dim_h", "16",
+        "model.num_layers", "1",
+        "model.num_heads", "2",
+        "train.batch_size", "4",
+    ])
+    splits, mean, std = run_gps.build_dataset(cfg, seed=0)
+    assert std > 0
+    graphs = [g for s in splits.values() for g in s]
+    spec = BatchSpec.from_graphs(graphs, batch_size=4)
+    b = jax.tree.map(jnp.asarray, pad_and_batch(splits["train"][:4], spec))
+    model = GPSModel(run_gps._gps_config(cfg, splits))
+    variables = model.init(jax.random.key(0), b)
+    out = model.apply(variables, b)
+    expect = b.y.shape[0]
+    assert out.shape == (expect, 1)
+    assert np.all(np.isfinite(np.asarray(out)))
