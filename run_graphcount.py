@@ -98,6 +98,9 @@ def main():
     p.add_argument("--dataset", default="count_cycle",
                    choices=["count_cycle", "count_graphlet"])
     p.add_argument("--h", type=int, default=3)
+    p.add_argument("--model", default="NestedGIN_eff",
+                   choices=["NestedGIN_eff", "PPGN_eff"],
+                   help="reference run_graphcount.py:316 model dispatch")
     p.add_argument("--layers", type=int, default=5)
     p.add_argument("--hidden", type=int, default=256)
     p.add_argument("--batch_size", type=int, default=128)
@@ -154,17 +157,30 @@ def main():
     )
     print(f"batch spec: {spec}")
 
-    mcfg = NestedGINEffConfig(
-        hidden=args.hidden,
-        num_layers=args.layers,
-        dropout=0.0,
-        graph_pred=False,
-        act="relu",
-        use_x_embedding_jk=True,
-        out_dim=1,
-        compute_dtype=args.compute_dtype,
-    )
-    model = NestedGINEff(mcfg)
+    if args.model == "PPGN_eff":
+        # dense provably-powerful net with the ESC encoding injected into
+        # the edge channel (reference run_graphcount.py:207-308)
+        from escgnn_tpu.models.ppgn import PPGN, PPGNConfig
+
+        model = PPGN(PPGNConfig(
+            emb_dim=args.hidden,
+            num_rb_layers=args.layers,
+            max_nodes=max(spec.max_nodes_per_graph, spec.uniform_nodes),
+            node_level=True,
+            use_esc=True,
+        ))
+    else:
+        mcfg = NestedGINEffConfig(
+            hidden=args.hidden,
+            num_layers=args.layers,
+            dropout=0.0,
+            graph_pred=False,
+            act="relu",
+            use_x_embedding_jk=True,
+            out_dim=1,
+            compute_dtype=args.compute_dtype,
+        )
+        model = NestedGINEff(mcfg)
 
     rng = jax.random.key(args.seed)
     init_batch = jax.tree.map(
