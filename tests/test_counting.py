@@ -80,3 +80,17 @@ def test_triangle_rectangle():
     )
     c = count_graphlets_per_node(6, tr_extra)
     assert c[:, 4].sum() == 0
+
+
+def test_graphlets_vectorized_equals_oracle():
+    from escgnn_tpu.data.graphlets import count_graphlets_per_node_slow
+
+    rng = np.random.default_rng(0)
+    for _ in range(12):
+        n = int(rng.integers(4, 14))
+        upper = np.triu(rng.random((n, n)) < 0.35, k=1)
+        a, b = np.nonzero(upper)
+        ei = np.stack([np.concatenate([a, b]), np.concatenate([b, a])])
+        fast = count_graphlets_per_node(n, ei)
+        slow = count_graphlets_per_node_slow(n, ei)
+        assert np.array_equal(fast, slow)
