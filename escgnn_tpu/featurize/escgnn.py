@@ -87,9 +87,38 @@ def canonical_edges(
     return edge_index, np.zeros(edge_index.shape[1], dtype=bool)
 
 
-def _batched_pinv(mats: np.ndarray) -> np.ndarray:
-    """Batched Moore-Penrose pseudo-inverse (float64 SVD, scipy-equivalent)."""
-    return np.linalg.pinv(mats, hermitian=False)
+def _batched_pinv(
+    mats: np.ndarray, valid: np.ndarray | None = None
+) -> np.ndarray:
+    """Batched Moore-Penrose pseudo-inverse of subgraph Laplacians.
+
+    With `valid` (the member mask of each padded Laplacian): uses the
+    connected-graph identity pinv(L) = inv(L + J/s) - J/s (J = ones over
+    the s member slots; padding gets an identity diagonal) — one LU
+    inverse instead of an SVD, ~3x faster and exact because every
+    per-edge subgraph is a BFS ball union around adjacent roots, hence
+    connected. Any batch element failing the L X L = L residual check
+    (or a singular factorization) falls back to SVD pinv, mirroring the
+    reference's pinv(+0.01 I) escape hatch (utils_edge_efficient.py:98-101).
+    """
+    if valid is None:
+        return np.linalg.pinv(mats, hermitian=False)
+    E, S = mats.shape[0], mats.shape[1]
+    m = valid.astype(np.float64)
+    s = np.maximum(m.sum(axis=1), 1.0)
+    J = m[:, :, None] * m[:, None, :] / s[:, None, None]
+    M = mats + J
+    d = np.arange(S)
+    M[:, d, d] += 1.0 - m
+    try:
+        X = np.linalg.inv(M) - J
+    except np.linalg.LinAlgError:
+        return np.linalg.pinv(mats, hermitian=False)
+    resid = np.abs(mats @ X @ mats - mats).max(axis=(1, 2))
+    bad = ~np.isfinite(resid) | (resid > 1e-6)
+    if bad.any():
+        X[bad] = np.linalg.pinv(mats[bad], hermitian=False)
+    return X
 
 
 def esc_encode(
@@ -166,7 +195,7 @@ def esc_encode(
         deg_d = sub.sum(axis=2)
         L = -sub
         L[:, np.arange(max_s), np.arange(max_s)] += deg_d
-        Li = _batched_pinv(L)
+        Li = _batched_pinv(L, valid)
 
         # Local index of the root u in each member list.
         # For self-loop edges the root is the disconnected phantom: rd of the
