@@ -47,7 +47,7 @@ class NGNNGINConv(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x, senders, receivers, edge_attr, edge_mask,
+        self, x, senders, receivers, edge_attr, edge_mask, node_mask=None,
         *, use_running_average: bool,
     ):
         eps = self.param("eps", nn.initializers.zeros, ())
@@ -62,7 +62,8 @@ class NGNNGINConv(nn.Module):
         )
         h = (1.0 + eps) * x + agg
         h = TorchDense(2 * self.m_in, name="mlp_0")(h)
-        h = MaskedBatchNorm(name="mlp_bn")(h, None, use_running_average)
+        # node_mask keeps padding out of the training batch statistics
+        h = MaskedBatchNorm(name="mlp_bn")(h, node_mask, use_running_average)
         h = nn.relu(h)
         return TorchDense(self.m_out, name="mlp_1")(h)
 
@@ -112,7 +113,8 @@ class NGNN(nn.Module):
                 name=f"conv{layer}",
             )(
                 h, batch.senders, batch.receivers, batch.edge_attr,
-                batch.edge_mask, use_running_average=use_running_average,
+                batch.edge_mask, node_mask,
+                use_running_average=use_running_average,
             )
             h = MaskedBatchNorm(name=f"norm{layer}")(
                 h, node_mask, use_running_average

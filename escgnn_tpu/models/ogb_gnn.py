@@ -71,6 +71,7 @@ class GINConvEff(nn.Module):
     @nn.compact
     def __call__(
         self, x, senders, receivers, edge_attr, z_emb, edge_mask,
+        node_mask=None,
         *, deterministic: bool, use_running_average: bool,
     ):
         eps = self.param("eps", nn.initializers.zeros, ())
@@ -84,9 +85,10 @@ class GINConvEff(nn.Module):
             indices_are_sorted=True,
         )
         h = (1.0 + eps) * x + agg
-        # mlp: Linear(d, 2d) -> BN -> ReLU -> Linear(2d, d)
+        # mlp: Linear(d, 2d) -> BN -> ReLU -> Linear(2d, d); node_mask
+        # keeps padding rows out of the training batch statistics
         h = TorchDense(2 * self.emb_dim, name="mlp_0")(h)
-        h = MaskedBatchNorm(name="mlp_bn")(h, None, use_running_average)
+        h = MaskedBatchNorm(name="mlp_bn")(h, node_mask, use_running_average)
         h = nn.relu(h)
         return TorchDense(self.emb_dim, name="mlp_1")(h)
 
@@ -188,7 +190,7 @@ class GNNNodeEfficient(nn.Module):
                 h_list[layer] = hcur
             h = GINConvEff(d, name=f"conv{layer}")(
                 hcur, batch.senders, batch.receivers, batch.edge_attr,
-                z_emb, edge_mask, **kw,
+                z_emb, edge_mask, node_mask, **kw,
             )
             h = MaskedBatchNorm(name=f"batch_norm{layer}")(
                 h, node_mask, use_running_average
