@@ -47,12 +47,17 @@ class I2GNNConfig:
     # (reference `zinc_models.py:272-276`): x = double_nn([x ‖ pool(x)
     # broadcast back through node_to_original_node])
     double_pooling: bool = False
+    # width-preserving Linear-ReLU-Linear after the subgraph2-level and
+    # subgraph-level pools (reference `use_pooling_nn`,
+    # `zinc_models.py:182-187,225-226,241-242`)
+    use_pooling_nn: bool = False
 
 
 class I2GNN(nn.Module):
     cfg: I2GNNConfig
 
-    def _pool(self, x, batch: GraphBatch, z_emb, gate_fn):
+    def _pool(self, x, batch: GraphBatch, z_emb, gate_fn,
+              node_emb_only: bool = False, pool_nn=None):
         cfg = self.cfg
         S = batch.segment_mask.shape[0]
         S2 = batch.segment2_mask.shape[0]
@@ -92,6 +97,9 @@ class I2GNN(nn.Module):
         else:
             raise ValueError(sp2)
 
+        if pool_nn is not None:
+            h2 = pool_nn["e1"](nn.relu(pool_nn["e0"](h2)))
+
         s2m = batch.segment2_mask
         if cfg.subgraph_pooling == "add":
             h1 = segment_sum(h2, batch.segment2_parent, S, mask=s2m)
@@ -100,6 +108,10 @@ class I2GNN(nn.Module):
         if cfg.subgraph_pooling == "mean-context":
             # one subgraph per original node, so rows align
             h1 = jnp.concatenate([h1, x_node[:S]], axis=-1)
+        # the double_pooling context path returns before node_pooling_nn
+        # (reference node_emb_only, zinc_models.py:238-242)
+        if pool_nn is not None and not node_emb_only:
+            h1 = pool_nn["n1"](nn.relu(pool_nn["n0"](h1)))
         return h1
 
     @nn.compact
@@ -138,6 +150,23 @@ class I2GNN(nn.Module):
                 )
             return z_emb
 
+        pool_nn = None
+        if cfg.use_pooling_nn:
+            # shared width-preserving MLPs after the s2/subgraph pools
+            # (reference builds ONE Sequential each, zinc_models.py:182-187)
+            s2_dim = {"mean": 1, "add": 1, "center": 1,
+                      "mean-center": 2, "mean-center-side": 3}[
+                cfg.subgraph2_pooling]
+            w2 = s2_dim * cfg.hidden
+            w1 = w2 + (cfg.hidden
+                       if cfg.subgraph_pooling == "mean-context" else 0)
+            pool_nn = {
+                "e0": TorchDense(w2, name="edge_pooling_nn_0"),
+                "e1": TorchDense(w2, name="edge_pooling_nn_1"),
+                "n0": TorchDense(w1, name="node_pooling_nn_0"),
+                "n1": TorchDense(w1, name="node_pooling_nn_1"),
+            }
+
         m_in = h.shape[-1]
         h_prev = None
         for layer in range(cfg.num_layers):
@@ -154,7 +183,8 @@ class I2GNN(nn.Module):
                 # pooled per-subgraph context broadcast back to the copy
                 # nodes; subgraph s is rooted at original node s so
                 # node_original indexes the subgraph axis directly
-                ctx = self._pool(h, batch, z_emb, None)
+                ctx = self._pool(h, batch, z_emb, None, node_emb_only=True,
+                                 pool_nn=pool_nn)
                 S = ctx.shape[0]
                 idx = jnp.minimum(batch.node_original, S - 1)
                 h = jnp.concatenate(
@@ -181,7 +211,7 @@ class I2GNN(nn.Module):
                 g = TorchDense(cfg.hidden, name="subgraph_gate")(ze)
                 return nn.sigmoid(g)
 
-        h1 = self._pool(h, batch, z_emb, gate_fn)
+        h1 = self._pool(h, batch, z_emb, gate_fn, pool_nn=pool_nn)
         g = (
             segment_sum(h1, batch.segment_graph, batch.num_graphs,
                         mask=batch.segment_mask)

@@ -84,3 +84,22 @@ def test_i2gnn_double_pooling(rng):
     out = model.apply(v, b)
     assert out.shape == (2, 1)
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_i2gnn_pooling_nn(rng):
+    pairs = make_pair_graphs(rng, 2)
+    graphs = [b for _, b in pairs]
+    from escgnn_tpu.data.batching import BatchSpec as BS
+    spec = BS.from_graphs(graphs, batch_size=2)
+    b = jax.tree.map(jnp.asarray, pad_and_batch(graphs, spec))
+    cfg = I2GNNConfig(
+        num_layers=2, hidden=8, use_rd=True, use_pooling_nn=True,
+        subgraph2_pooling="mean-center-side", double_pooling=True,
+    )
+    model = I2GNN(cfg)
+    variables = model.init(jax.random.key(0), b)
+    assert "edge_pooling_nn_0" in variables["params"]
+    assert "node_pooling_nn_0" in variables["params"]
+    out = model.apply(variables, b)
+    assert out.shape == (b.num_graphs, 1)
+    assert np.all(np.isfinite(np.asarray(out)))

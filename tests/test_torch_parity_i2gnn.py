@@ -1,0 +1,172 @@
+"""I²GNN activation parity vs a ragged torch re-execution.
+
+Companion to tests/test_torch_parity.py for the I²GNN family (reference
+`zinc_models.py:116-303`): per-layer z-label embeddings + rd projection,
+GINConv with edge-type message, BN/ELU/residual, and the gated
+three-level pooling cascade (mean-center-side over pair copies -> mean
+over root subgraphs -> mean over the graph) — re-executed in float64
+torch from the pair-copy transform's ragged arrays with the flax
+weights; the padded/masked JAX forward must match.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from escgnn_tpu.data.batching import BatchSpec, pad_and_batch
+from escgnn_tpu.data.container import GraphData
+from escgnn_tpu.featurize.pair_subgraphs import (
+    PairSubgraphConfig,
+    create_pair_subgraphs,
+)
+from escgnn_tpu.models.i2gnn import I2GNN, I2GNNConfig
+from tests.conftest import random_graph
+
+torch = pytest.importorskip("torch")
+
+LAYERS = 2
+HIDDEN = 8
+NTD = 4  # node_type_dim
+
+
+def t(x):
+    return torch.tensor(np.asarray(x), dtype=torch.float64)
+
+
+def t_bn(x, p, s):
+    return (x - t(s["mean"])) / torch.sqrt(t(s["var"]) + 1e-5) * t(
+        p["scale"]
+    ) + t(p["bias"])
+
+
+def t_dense(x, p):
+    return x @ t(p["kernel"]) + t(p["bias"])
+
+
+def torch_forward(big: GraphData, params, stats):
+    ex = big.extras
+    z = np.asarray(ex["z"], np.int64)
+    rd = np.asarray(ex["rd"], np.float64)
+    seg2 = torch.tensor(np.asarray(ex["node_to_subgraph2"], np.int64))
+    s2_parent = torch.tensor(
+        np.asarray(ex["subgraph2_to_subgraph"], np.int64)
+    )
+    center = np.asarray(ex["center_idx"], np.int64)
+    S2 = int(ex["num_subgraphs2"])
+    S = int(ex["num_subgraphs"])
+
+    xt = t(params["node_type_embedding"]["embedding"])[
+        np.asarray(big.x[:, 0], np.int64)
+    ]
+    h = torch.cat([xt, t(big.x).reshape(len(xt), -1)], dim=-1)
+
+    senders = torch.tensor(np.asarray(big.edge_index[0], np.int64))
+    receivers = torch.tensor(np.asarray(big.edge_index[1], np.int64))
+    etype = np.asarray(big.edge_attr, np.int64).reshape(-1)
+
+    def z_embed(layer):
+        zt = t(params[f"z_embedding_{layer}"]["embedding"])[z]  # (N, 2, m)
+        ze = zt.sum(dim=1)
+        ze = ze + t_dense(t(rd), params[f"rd_projection_{layer}"])
+        return ze
+
+    def seg_mean(x, ids, num):
+        out = torch.zeros((num, x.shape[1]), dtype=torch.float64)
+        out.index_add_(0, ids, x)
+        cnt = torch.zeros(num, dtype=torch.float64)
+        cnt.index_add_(0, ids, torch.ones(len(ids), dtype=torch.float64))
+        return out / cnt.clamp(min=1.0)[:, None]
+
+    h_prev = None
+    for layer in range(LAYERS):
+        ze = z_embed(layer)
+        hc = torch.cat([h, ze], dim=-1)
+        cp, cs = params[f"conv{layer}"], stats[f"conv{layer}"]
+        e = t(cp["edge_encoder"]["embedding"])[etype]
+        msg = torch.relu(hc[senders] + e)
+        agg = torch.zeros_like(hc).index_add_(0, receivers, msg)
+        x = (1.0 + float(np.asarray(cp["eps"]))) * hc + agg
+        x = t_dense(x, cp["mlp_0"])
+        x = torch.relu(t_bn(x, cp["mlp_bn"], cs["mlp_bn"]))
+        x = t_dense(x, cp["mlp_1"])
+        x = t_bn(x, params[f"norm{layer}"], stats[f"norm{layer}"])
+        if layer < LAYERS - 1:
+            x = torch.nn.functional.elu(x)
+        if layer > 0:
+            x = x + h_prev
+        h_prev = x
+        h = x
+
+    # final pooling: gate * x, mean-center-side over pair copies,
+    # mean over root subgraphs, mean over the graph
+    ze = z_embed(LAYERS)
+    gate = torch.sigmoid(t_dense(ze, params["subgraph_gate"]))
+    xg = gate * h
+    h2 = torch.cat(
+        [seg_mean(xg, seg2, S2), xg[center[:, 0]], xg[center[:, 1]]], dim=-1
+    )
+    h1 = seg_mean(h2, s2_parent, S)
+    g = h1.mean(dim=0, keepdim=True)
+
+    g = torch.nn.functional.elu(t_dense(g, params["fc1"]))
+    g = torch.nn.functional.elu(t_dense(g, params["fc2"]))
+    return t_dense(g, params["fc3"])
+
+
+def _randomize(tree, rng):
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    out = [
+        jnp.asarray(rng.normal(0.0, 0.5, leaf.shape).astype(np.float32))
+        for leaf in leaves
+    ]
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
+def _abs_var(tree):
+    def fix(path, leaf):
+        if path[-1].key == "var":
+            return jnp.abs(leaf) + 0.5
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(fix, tree)
+
+
+def test_i2gnn_activation_parity_vs_torch(rng):
+    cfg_pair = PairSubgraphConfig(h=2, use_rd=True)
+    graphs = []
+    for _ in range(2):
+        n, ei = random_graph(rng, max_n=6)
+        g = GraphData(
+            num_nodes=n, edge_index=ei,
+            x=rng.integers(0, 10, n).astype(np.int32)[:, None],
+            edge_attr=rng.integers(1, 4, ei.shape[1]).astype(np.int32),
+            y=rng.normal(size=(1,)).astype(np.float32),
+        )
+        graphs.append(create_pair_subgraphs(g, cfg_pair))
+
+    spec = BatchSpec.from_graphs(graphs, batch_size=2)
+    batch = jax.tree.map(jnp.asarray, pad_and_batch(graphs, spec))
+
+    model = I2GNN(I2GNNConfig(
+        num_layers=LAYERS, hidden=HIDDEN, node_type_dim=NTD,
+        use_rd=True, gate=True, subgraph2_pooling="mean-center-side",
+        subgraph_pooling="mean", graph_aggr="mean", residual=True,
+    ))
+    variables = model.init(jax.random.key(0), batch)
+    nprng = np.random.default_rng(11)
+    params = _randomize(variables["params"], nprng)
+    stats = _abs_var(_randomize(variables["batch_stats"], nprng))
+
+    out = np.asarray(model.apply(
+        {"params": params, "batch_stats": stats}, batch,
+        deterministic=True, use_running_average=True,
+    ))
+
+    p_np = jax.tree.map(np.asarray, params)
+    s_np = jax.tree.map(np.asarray, stats)
+    want = np.concatenate(
+        [torch_forward(g, p_np, s_np).numpy() for g in graphs]
+    )
+    got = out[np.asarray(batch.graph_mask)]
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-4)
