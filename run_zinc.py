@@ -57,6 +57,11 @@ def main():
     p.add_argument("--batch_size", type=int, default=128)
     p.add_argument("--lr", type=float, default=5e-4)
     p.add_argument("--lr_decay_factor", type=float, default=0.5)
+    p.add_argument("--model", default="NestedGIN_eff",
+                   choices=["NestedGIN_eff", "NGNN", "I2GNN"],
+                   help="reference run_zinc.py model dispatch "
+                        "(eval(args.model) at :257); NGNN/I2GNN use the "
+                        "copy-based transforms instead of the ESC encoding")
     p.add_argument("--patience", type=int, default=20)
     p.add_argument("--epochs", type=int, default=100)
     p.add_argument("--seed", type=int, default=0)
@@ -80,23 +85,48 @@ def main():
     with open(os.path.join(res_dir, "config.json"), "w") as f:
         json.dump(vars(args), f, indent=2)
 
-    ecfg = EscConfig(h=args.h, use_rd=True, self_loop=True)
     t0 = time.time()
     raw_splits, is_real = zinc_splits(
         args.data_dir, num_graphs=args.num_graphs, seed=args.seed
     )
     print("dataset:", "ZINC (real artifact)" if is_real else "ZINC (synthetic)")
+    if args.model == "NGNN":
+        from escgnn_tpu.featurize.node_subgraphs import (
+            NodeSubgraphConfig,
+            create_node_subgraphs,
+        )
+
+        scfg = NodeSubgraphConfig(h=args.h, use_rd=True)
+        key_tag = f"ngnn_h{args.h}_rd"
+
+        def transform(graphs):
+            return [create_node_subgraphs(g, scfg) for g in graphs]
+    elif args.model == "I2GNN":
+        from escgnn_tpu.featurize.pair_subgraphs import (
+            PairSubgraphConfig,
+            create_pair_subgraphs,
+        )
+
+        pcfg = PairSubgraphConfig(h=args.h, use_rd=True)
+        key_tag = f"i2gnn_h{args.h}_rd"
+
+        def transform(graphs):
+            return [create_pair_subgraphs(g, pcfg) for g in graphs]
+    else:
+        ecfg = EscConfig(h=args.h, use_rd=True, self_loop=True)
+        key_tag = ecfg.cache_key()
+
+        def transform(graphs):
+            return featurize_many(graphs, ecfg, num_workers=args.num_workers)
     splits = {}
     for name, graphs in raw_splits.items():
         splits[name] = cached_featurize(
             os.path.join(
                 args.data_dir, "zinc_real" if is_real else "zinc_synth"
             ),
-            (f"{name}_{ecfg.cache_key()}" if is_real else
-             f"{name}_n{args.num_graphs}_s{args.seed}_{ecfg.cache_key()}"),
-            lambda graphs=graphs: featurize_many(
-                graphs, ecfg, num_workers=args.num_workers
-            ),
+            (f"{name}_{key_tag}" if is_real else
+             f"{name}_n{args.num_graphs}_s{args.seed}_{key_tag}"),
+            lambda graphs=graphs: transform(graphs),
         )
     # normalize targets by train+val stats (reference run_zinc.py:210-216)
     ys = np.concatenate(
@@ -109,30 +139,50 @@ def main():
     print(f"data: {time.time() - t0:.1f}s mean={mean:.3f} std={std:.3f}")
 
     all_graphs = [g for s in splits.values() for g in s]
-    # uniform per-graph blocks + dedup ESC rows: the fast layout the
-    # flagship bench uses (einsum message passing on the MXU, z-emb
-    # reduce on unique histogram rows) — numerically equal to the
-    # width layout (tests/test_zemb_dedup.py, tests/test_model.py)
-    spec = BatchSpec.uniform(
-        all_graphs, args.batch_size, enc_layout="dedup"
-    )
+    if args.model == "NestedGIN_eff":
+        # uniform per-graph blocks + dedup ESC rows: the fast layout the
+        # flagship bench uses (einsum message passing on the MXU, z-emb
+        # reduce on unique histogram rows) — numerically equal to the
+        # width layout (tests/test_zemb_dedup.py, tests/test_model.py)
+        spec = BatchSpec.uniform(
+            all_graphs, args.batch_size, enc_layout="dedup"
+        )
+    else:
+        # copy-based batches: ragged width layout (copies multiply the
+        # node count; the uniform block layout would square the padding)
+        spec = BatchSpec.from_graphs(all_graphs, batch_size=args.batch_size)
     print("spec:", spec)
 
-    model = NestedGINEff(
-        NestedGINEffConfig(
-            hidden=args.hidden,
-            num_layers=args.layers,
-            dropout=0.0,
-            act="elu",
-            graph_pred=True,
-            pool="add",
-            use_x_embedding_jk=False,
-            head_order="dropout_act",
-            node_embed_vocab=100,
-            edge_embed_vocab=100,
+    if args.model == "NGNN":
+        from escgnn_tpu.models.ngnn import NGNN, NGNNConfig
+
+        model = NGNN(NGNNConfig(
+            num_layers=args.layers, hidden=args.hidden, use_rd=True,
             out_dim=1,
+        ))
+    elif args.model == "I2GNN":
+        from escgnn_tpu.models.i2gnn import I2GNN, I2GNNConfig
+
+        model = I2GNN(I2GNNConfig(
+            num_layers=args.layers, hidden=args.hidden, use_rd=True,
+            subgraph2_pooling="mean-center-side", gate=True, out_dim=1,
+        ))
+    else:
+        model = NestedGINEff(
+            NestedGINEffConfig(
+                hidden=args.hidden,
+                num_layers=args.layers,
+                dropout=0.0,
+                act="elu",
+                graph_pred=True,
+                pool="add",
+                use_x_embedding_jk=False,
+                head_order="dropout_act",
+                node_embed_vocab=100,
+                edge_embed_vocab=100,
+                out_dim=1,
+            )
         )
-    )
     rng = jax.random.key(args.seed)
     init_b = jax.tree.map(
         jnp.asarray, next(batch_iterator(splits["train"][:2], spec))
