@@ -75,6 +75,97 @@ def shard_batch_by_edges(batch: GraphBatch, mesh: Mesh, axis: str = "model"):
     )
 
 
+NODE_FIELDS = ("x", "pos", "node_mask", "node_graph", "node_local")
+GRAPH_FIELDS = ("graph_mask",)
+
+
+def batch_shardings_2d(
+    batch: GraphBatch,
+    mesh: Mesh,
+    data_axis: str = "data",
+    model_axis: str = "model",
+):
+    """2-D dp x ep shardings: node/graph-aligned arrays split over the
+    `data` axis (graphs are row-contiguous in the uniform block layout,
+    so this is graph-level data parallelism), edge-aligned arrays split
+    over BOTH axes (data-parallel groups of graphs, then their edges
+    partitioned across the model axis). Parameters stay replicated; XLA's
+    SPMD partitioner inserts the psums (model-axis for node scatter-adds,
+    data-axis inside loss/BN reductions)."""
+    dedup = getattr(batch, "enc_edge_row", None) is not None
+
+    def spec_for(name, x):
+        if x is None:
+            return None
+        if name in EDGE_FIELDS and not (
+            dedup and name in ("enc_idx", "enc_cnt")
+        ):
+            return NamedSharding(mesh, P((data_axis, model_axis)))
+        if name in NODE_FIELDS or name in GRAPH_FIELDS:
+            return NamedSharding(mesh, P(data_axis))
+        if name == "y":
+            return NamedSharding(mesh, P(data_axis))
+        return NamedSharding(mesh, P())
+
+    fields = {
+        f.name: spec_for(f.name, getattr(batch, f.name))
+        for f in dataclasses.fields(GraphBatch)
+        if f.name != "extras"
+    }
+    extras = None
+    if batch.extras:
+        extras = {k: NamedSharding(mesh, P()) for k in batch.extras}
+    return GraphBatch(extras=extras, **fields)
+
+
+def make_dp_ep_train_step(
+    model,
+    loss_fn: Callable,
+    mesh: Mesh,
+    example_batch: GraphBatch,
+    data_axis: str = "data",
+    model_axis: str = "model",
+):
+    """Jitted train step over a 2-D (data, model) mesh: graphs data-
+    parallel, each group's edges partitioned over the model axis.
+    Numerically identical to the single-device step (GSPMD only moves
+    where partial sums are computed); see tests/test_edge_partition.py."""
+    repl = NamedSharding(mesh, P())
+
+    def step(state: TrainState, batch: GraphBatch, rng: jax.Array):
+        def compute(params):
+            out, mut = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch,
+                deterministic=False,
+                use_running_average=False,
+                mutable=["batch_stats"],
+                rngs={"dropout": rng},
+            )
+            return loss_fn(out, batch), mut["batch_stats"]
+
+        (loss, new_stats), grads = jax.value_and_grad(compute, has_aux=True)(
+            state.params
+        )
+        updates, new_opt = state.tx.update(grads, state.opt_state, state.params)
+        return (
+            state.replace(
+                step=state.step + 1,
+                params=optax.apply_updates(state.params, updates),
+                batch_stats=new_stats,
+                opt_state=new_opt,
+            ),
+            loss,
+        )
+
+    bsh = batch_shardings_2d(example_batch, mesh, data_axis, model_axis)
+    return jax.jit(
+        step,
+        in_shardings=(None, bsh, repl),
+        donate_argnums=(0,),
+    )
+
+
 def make_ep_train_step(
     model,
     loss_fn: Callable,

@@ -91,3 +91,56 @@ def test_ep_train_step_runs_and_trains():
         losses.append(float(loss))
     assert all(np.isfinite(losses))
     assert losses[-1] < losses[0]
+
+
+def test_dp_ep_2d_gradients_match_single_device():
+    """2-D (data x model) mesh: graphs data-parallel, edges additionally
+    partitioned — gradients must match the single-device step."""
+    from jax.sharding import Mesh
+
+    from escgnn_tpu.ops import zemb as zemb_mod
+    from escgnn_tpu.parallel.edge_partition import batch_shardings_2d
+
+    zemb_mod.set_backward_matmul_dtype(jnp.float32)
+    try:
+        rng_np = np.random.default_rng(1)
+        graphs = make_graphs(rng_np, k=4)
+        spec = BatchSpec.from_graphs(graphs, batch_size=4)
+        batch_host = pad_and_batch(graphs, spec)
+
+        model = NestedGINEff(NestedGINEffConfig(hidden=16, num_layers=2))
+        b1 = to_jax(batch_host)
+        variables = model.init(jax.random.key(0), b1)
+        params = variables["params"]
+        bs = variables.get("batch_stats", {})
+
+        def loss_of(params, batch):
+            out, _ = model.apply(
+                {"params": params, "batch_stats": bs},
+                batch,
+                deterministic=True,
+                use_running_average=False,
+                mutable=["batch_stats"],
+            )
+            return l1_node_loss(out, batch)
+
+        g_ref = jax.jit(jax.grad(loss_of))(params, b1)
+
+        devs = np.asarray(jax.devices()[:8]).reshape(2, 4)
+        mesh = Mesh(devs, ("data", "model"))
+        # sorted-CSR expansion view assumes an unpartitioned edge axis
+        bh = batch_host.replace(enc_edge_perm=None, enc_row_sorted=None)
+        bsh = batch_shardings_2d(bh, mesh)
+        b_sh = jax.tree.map(
+            lambda x, s: jax.device_put(jnp.asarray(x), s), bh, bsh
+        )
+        g_2d = jax.jit(jax.grad(loss_of), in_shardings=(None, bsh))(
+            params, b_sh
+        )
+
+        for a, b in zip(jax.tree.leaves(g_2d), jax.tree.leaves(g_ref)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-3, atol=5e-4
+            )
+    finally:
+        zemb_mod.set_backward_matmul_dtype(jnp.bfloat16)
