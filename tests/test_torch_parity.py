@@ -158,3 +158,104 @@ def test_activation_parity_vs_torch(rng):
     # padding rows produce SOME value, but real rows must be unaffected —
     # already established by equality above; also check output is finite.
     assert np.all(np.isfinite(got))
+
+
+def torch_bn_train(x, p):
+    """BatchNorm with the batch's OWN biased statistics (train mode)."""
+    mean = x.mean(dim=0)
+    var = x.var(dim=0, unbiased=False)
+    return (x - mean) / torch.sqrt(var + 1e-5) * t(p["scale"]) + t(p["bias"])
+
+
+def torch_mlp_train(x, p, pre_act):
+    names = sorted(k for k in p if k.startswith("MaskedBatchNorm"))
+    dn = sorted(k for k in p if k.startswith("TorchDense"))
+    bi = 0
+    if pre_act:
+        x = torch.relu(torch_bn_train(x, p[names[bi]]))
+        bi += 1
+    for d in dn:
+        x = torch_dense(x, p[d])
+        x = torch.relu(torch_bn_train(x, p[names[bi]]))
+        bi += 1
+    return x
+
+
+def torch_gine_train(x, senders, receivers, e, p, mlp_p):
+    msg = torch.relu(x[senders] + torch_dense(e, p["lin_edge"]))
+    agg = torch.zeros_like(x).index_add_(
+        0, torch.tensor(np.asarray(receivers, np.int64)), msg
+    )
+    h = (1.0 + float(np.asarray(p["eps"]))) * x + agg
+    return torch_mlp_train(h, mlp_p, pre_act=False)
+
+
+def test_train_mode_batch_statistics_parity(rng):
+    """Train-mode BN: the flax model's MASKED batch statistics must equal
+    torch statistics over the concatenated ragged batch (padding rows
+    mathematically invisible to the moments)."""
+    cfg = EscConfig(h=2, use_rd=True, self_loop=True)
+    graphs = []
+    for _ in range(3):
+        n, ei = random_graph(rng, max_n=7)
+        g = GraphData(
+            num_nodes=n, edge_index=ei,
+            x=rng.normal(size=(n, 4)).astype(np.float32),
+            y=rng.normal(size=(n, 1)).astype(np.float32),
+        )
+        graphs.append(esc_transform(g, cfg))
+
+    spec = BatchSpec.from_graphs(graphs, batch_size=3)
+    batch = jax.tree.map(jnp.asarray, pad_and_batch(graphs, spec))
+
+    model = NestedGINEff(NestedGINEffConfig(
+        hidden=H, num_layers=LAYERS, dropout=0.0, act="relu",
+        graph_pred=False, use_x_embedding_jk=True, out_dim=1,
+    ))
+    variables = model.init(jax.random.key(0), batch)
+    nprng = np.random.default_rng(5)
+    params = _randomize(variables["params"], nprng)
+    stats = _abs_var(_randomize(variables["batch_stats"], nprng))
+
+    out, _ = model.apply(
+        {"params": params, "batch_stats": stats}, batch,
+        deterministic=True, use_running_average=False,
+        mutable=["batch_stats"],
+    )
+    out = np.asarray(out)
+
+    # whole-batch ragged torch forward (real rows only, offset indices)
+    p_np = jax.tree.map(np.asarray, params)
+    x = torch.cat([t(g.x) for g in graphs])
+    off = np.cumsum([0] + [g.num_nodes for g in graphs])
+    senders = np.concatenate(
+        [np.asarray(g.edge_index[0]) + off[i] for i, g in enumerate(graphs)]
+    )
+    receivers = np.concatenate(
+        [np.asarray(g.edge_index[1]) + off[i] for i, g in enumerate(graphs)]
+    )
+    table = t(p_np["z_initial"])
+    z_rows = []
+    for g in graphs:
+        for e in range(g.num_edges):
+            idx, cnt = g.enc_row(e)
+            z_rows.append(sum(
+                c * table[i] for i, c in zip(idx.tolist(), cnt.tolist())
+            ))
+    z_raw = torch.stack(z_rows)
+    z = torch_mlp_train(z_raw, p_np["z_embedding"], pre_act=True)
+    xs = [torch_mlp_train(x, p_np["x_embedding"], pre_act=False)]
+    h = torch_gine_train(x, senders, receivers, z, p_np["conv1"],
+                         p_np["MLP_0"])
+    xs.append(h)
+    for i in range(LAYERS - 1):
+        h = torch_gine_train(h, senders, receivers, z, p_np[f"conv{i + 2}"],
+                             p_np[f"MLP_{i + 1}"])
+        xs.append(h)
+    h = torch.cat(xs, dim=-1)
+    h = torch_dense(h, p_np["lin1"])
+    h = torch_bn_train(h, p_np["bn_lin1"])
+    want = torch_dense(torch.relu(h), p_np["lin2"]).numpy()
+
+    got = out[np.asarray(batch.node_mask)]
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
