@@ -25,7 +25,20 @@ def esc_transform(
     cfg: EscConfig,
     self_loop_fill=1,
 ) -> GraphData:
-    enc = esc_encode(g.num_nodes, g.edge_index, cfg)
+    if cfg.max_nodes_per_hop is not None:
+        # per-hop frontier subsampling is inherently sequential per edge
+        # (reference `utils_edge_efficient.py:238-240` random sampling) —
+        # route through the per-edge encoder, seeded per graph for
+        # deterministic caches
+        from escgnn_tpu.featurize.oracle import esc_encode_oracle
+
+        rng = np.random.default_rng(
+            np.asarray(g.edge_index, np.uint32).sum()
+            + np.uint32(g.num_nodes)
+        )
+        enc = esc_encode_oracle(g.num_nodes, g.edge_index, cfg, rng=rng)
+    else:
+        enc = esc_encode(g.num_nodes, g.edge_index, cfg)
     edge_attr = g.edge_attr
     if edge_attr is not None and cfg.self_loop:
         # Original non-self-loop edges keep their attrs (in order); the

@@ -162,3 +162,21 @@ def test_cache_roundtrips_extras(tmp_path, rng):
                 np.testing.assert_array_equal(got.extras[k], v)
             if not isinstance(v, int):
                 assert got.extras[k].dtype == v.dtype
+
+
+def test_max_nodes_per_hop_routes_to_sampling_path(rng):
+    from escgnn_tpu.featurize.transform import esc_transform
+
+    n, ei = random_graph(rng, n=10, p=0.5)
+    g = GraphData(num_nodes=n, edge_index=ei, x=np.ones((n, 3), np.float32))
+    cfg = EscConfig(h=2, use_rd=True, self_loop=True, max_nodes_per_hop=2)
+    a = esc_transform(g, cfg)
+    b = esc_transform(g, cfg)
+    # deterministic per-graph seeding, capped subgraphs
+    assert np.array_equal(a.enc_idx, b.enc_idx)
+    assert np.array_equal(a.enc_cnt, b.enc_cnt)
+    # sampling shrinks (or keeps) the histogram mass vs the full encoder
+    full = esc_transform(
+        g, EscConfig(h=2, use_rd=True, self_loop=True)
+    )
+    assert a.enc_cnt.sum() <= full.enc_cnt.sum()
