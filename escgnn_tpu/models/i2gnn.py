@@ -177,7 +177,8 @@ class I2GNN(nn.Module):
                 name=f"conv{layer}",
             )(
                 h, batch.senders, batch.receivers, batch.edge_attr,
-                batch.edge_mask, use_running_average=use_running_average,
+                batch.edge_mask, nm,
+                use_running_average=use_running_average,
             )
             if cfg.double_pooling:
                 # pooled per-subgraph context broadcast back to the copy

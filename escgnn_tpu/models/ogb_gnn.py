@@ -174,10 +174,9 @@ class GNNNodeEfficient(nn.Module):
             and batch.node_segment is not None
         )
         if center_vn:
-            S = batch.segment_mask.shape[0]
-            idx = jnp.where(node_mask, jnp.arange(N), N)
-            first = jax.ops.segment_min(idx, batch.node_segment, S)
-            is_root = (idx == jnp.take(first, batch.node_segment)) & node_mask
+            _, is_root = _segment_roots(
+                node_mask, batch.node_segment, batch.segment_mask.shape[0]
+            )
 
         h_list = [h]
         for layer in range(cfg.num_layers):
@@ -224,6 +223,17 @@ class GNNNodeEfficient(nn.Module):
         if cfg.jk == "last":
             return h_list[-1]
         return sum(h_list[: cfg.num_layers])
+
+
+def _segment_roots(node_mask, node_segment, num_segments):
+    """(first-node index per segment, is-root node indicator). The copy
+    transforms place each copy's root first, so the root is the minimum
+    node index within the segment."""
+    n = node_mask.shape[0]
+    idx = jnp.where(node_mask, jnp.arange(n), n)
+    first = jax.ops.segment_min(idx, node_segment, num_segments)
+    is_root = (idx == jnp.take(first, node_segment)) & node_mask
+    return jnp.minimum(first, n - 1), is_root
 
 
 def _std_pool(h, ids, G, mask):
@@ -321,7 +331,10 @@ class OgbGNN(nn.Module):
             m = max(-(-h.shape[0] // max(G, 1)), k)
             z = global_sort_pool(h, batch, k, m).reshape(G, k, cfg.emb_dim)
             c = nn.relu(TorchDense(16, name="conv1d_params1")(z))
-            c = jnp.max(c.reshape(G, k // 2, 2, 16), axis=2)
+            # MaxPool1d(2, 2): trailing element dropped when k is odd
+            c = jnp.max(
+                c[:, : 2 * (k // 2)].reshape(G, k // 2, 2, 16), axis=2
+            )
             c = nn.relu(
                 nn.Conv(32, (5,), padding="VALID", name="conv1d_params2")(c)
             )
@@ -341,12 +354,8 @@ class OgbGNN(nn.Module):
         S = batch.segment_mask.shape[0]
 
         def center(x):
-            # center = root = first node of each copy (the transform
-            # places the root first; same convention as models/ngnn.py)
-            idx = jnp.arange(x.shape[0])
-            big = jnp.where(mask, idx, x.shape[0])
-            first = jax.ops.segment_min(big, ids, S)
-            return jnp.take(x, jnp.minimum(first, x.shape[0] - 1), axis=0)
+            first, _ = _segment_roots(mask, ids, S)
+            return jnp.take(x, first, axis=0)
 
         if cfg.subgraph_pooling == "sum":
             return segment_sum(h, ids, S, mask=mask)

@@ -39,19 +39,25 @@ EDGE_FIELDS = ("senders", "receivers", "edge_mask", "edge_attr",
 # dominates (it shards exactly).
 
 
-def batch_shardings(batch: GraphBatch, mesh: Mesh, axis: str = "model"):
-    """Pytree of NamedShardings: edge-dim arrays split over `axis`,
-    everything else replicated."""
+NODE_FIELDS = ("x", "pos", "node_mask", "node_graph", "node_local", "y")
+GRAPH_FIELDS = ("graph_mask",)
 
+
+def _batch_shardings(batch: GraphBatch, mesh: Mesh, edge_spec, row_spec):
+    """Pytree of NamedShardings: edge-aligned arrays get `edge_spec`,
+    node/graph-aligned arrays `row_spec`, everything else replicated."""
     dedup = getattr(batch, "enc_edge_row", None) is not None
 
     def spec_for(name, x):
         if x is None:
             return None
-        edge_aligned = name in EDGE_FIELDS and not (
+        if name in EDGE_FIELDS and not (
             dedup and name in ("enc_idx", "enc_cnt")
-        )
-        return NamedSharding(mesh, P(axis) if edge_aligned else P())
+        ):
+            return NamedSharding(mesh, edge_spec)
+        if name in NODE_FIELDS or name in GRAPH_FIELDS:
+            return NamedSharding(mesh, row_spec)
+        return NamedSharding(mesh, P())
 
     fields = {
         f.name: spec_for(f.name, getattr(batch, f.name))
@@ -64,6 +70,12 @@ def batch_shardings(batch: GraphBatch, mesh: Mesh, axis: str = "model"):
     return GraphBatch(extras=extras, **fields)
 
 
+def batch_shardings(batch: GraphBatch, mesh: Mesh, axis: str = "model"):
+    """1-D edge partition: edge-dim arrays split over `axis`,
+    everything else replicated."""
+    return _batch_shardings(batch, mesh, edge_spec=P(axis), row_spec=P())
+
+
 def shard_batch_by_edges(batch: GraphBatch, mesh: Mesh, axis: str = "model"):
     # drop the sorted-CSR expansion view: its Pallas backward kernel
     # assumes an unpartitioned edge axis (ops/zemb.py expand_rows); the
@@ -73,10 +85,6 @@ def shard_batch_by_edges(batch: GraphBatch, mesh: Mesh, axis: str = "model"):
     return jax.tree.map(
         lambda x, s: jax.device_put(jnp.asarray(x), s), batch, shardings
     )
-
-
-NODE_FIELDS = ("x", "pos", "node_mask", "node_graph", "node_local")
-GRAPH_FIELDS = ("graph_mask",)
 
 
 def batch_shardings_2d(
@@ -92,30 +100,11 @@ def batch_shardings_2d(
     partitioned across the model axis). Parameters stay replicated; XLA's
     SPMD partitioner inserts the psums (model-axis for node scatter-adds,
     data-axis inside loss/BN reductions)."""
-    dedup = getattr(batch, "enc_edge_row", None) is not None
-
-    def spec_for(name, x):
-        if x is None:
-            return None
-        if name in EDGE_FIELDS and not (
-            dedup and name in ("enc_idx", "enc_cnt")
-        ):
-            return NamedSharding(mesh, P((data_axis, model_axis)))
-        if name in NODE_FIELDS or name in GRAPH_FIELDS:
-            return NamedSharding(mesh, P(data_axis))
-        if name == "y":
-            return NamedSharding(mesh, P(data_axis))
-        return NamedSharding(mesh, P())
-
-    fields = {
-        f.name: spec_for(f.name, getattr(batch, f.name))
-        for f in dataclasses.fields(GraphBatch)
-        if f.name != "extras"
-    }
-    extras = None
-    if batch.extras:
-        extras = {k: NamedSharding(mesh, P()) for k in batch.extras}
-    return GraphBatch(extras=extras, **fields)
+    return _batch_shardings(
+        batch, mesh,
+        edge_spec=P((data_axis, model_axis)),
+        row_spec=P(data_axis),
+    )
 
 
 def make_dp_ep_train_step(

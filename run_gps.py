@@ -140,6 +140,12 @@ def build_dataset(cfg, seed: int):
         splits, mean, std = normalize_targets(splits, d.target)
         return splits, mean, std
     if d.name == "qm9-synthetic":
+        width = len(splits["train"][0].y)
+        if not 0 <= d.target < width:
+            raise ValueError(
+                f"dataset.target {d.target} out of range for qm9 y "
+                f"width {width}"
+            )
         for s in splits.values():
             for g in s:
                 g.y = g.y[d.target:d.target + 1]
@@ -349,9 +355,12 @@ def dump_attention(model, state, splits, spec, out_path: str):
     flat = jax.tree_util.tree_flatten_with_path(inter["intermediates"])[0]
     out = {}
     for path, val in flat:
-        name = "/".join(
-            getattr(k, "key", str(k)) for k in path
-        ).replace("/attn_weights/0", "")
+        # path = (DictKey('layer0'), DictKey('self_attn'),
+        #         DictKey('attn_weights'), SequenceKey(0))
+        parts = [
+            str(getattr(k, "key", getattr(k, "idx", k))) for k in path
+        ]
+        name = "/".join(p for p in parts if p not in ("attn_weights", "0"))
         out[name] = np.asarray(val)
     if not out:
         raise SystemExit(

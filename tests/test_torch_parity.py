@@ -24,56 +24,22 @@ from tests.conftest import random_graph
 
 torch = pytest.importorskip("torch")
 
+from tests.torch_ref import (  # noqa: E402  (after importorskip)
+    abs_var as _abs_var,
+    randomize as _randomize,
+    t,
+    t_bn as torch_bn,
+    t_bn_train as torch_bn_train,
+    t_dense as torch_dense,
+    t_mlp,
+)
+
 H = 8
 LAYERS = 2
 
 
-def _randomize(tree, rng):
-    """Replace every leaf with random values (variance kept for BN vars)."""
-    leaves, treedef = jax.tree_util.tree_flatten(tree)
-    out = []
-    for leaf in leaves:
-        v = rng.normal(0.0, 0.5, leaf.shape).astype(np.float32)
-        out.append(jnp.asarray(v))
-    return jax.tree_util.tree_unflatten(treedef, out)
-
-
-def _abs_var(tree):
-    """BN running variances must be positive: take |x| + 0.5."""
-    def fix(path, leaf):
-        if path[-1].key == "var":
-            return jnp.abs(leaf) + 0.5
-        return leaf
-
-    return jax.tree_util.tree_map_with_path(fix, tree)
-
-
-def t(x):
-    return torch.tensor(np.asarray(x), dtype=torch.float64)
-
-
-def torch_bn(x, p, s):
-    return (x - t(s["mean"])) / torch.sqrt(t(s["var"]) + 1e-5) * t(
-        p["scale"]
-    ) + t(p["bias"])
-
-
-def torch_dense(x, p):
-    return x @ t(p["kernel"]) + t(p["bias"])
-
-
 def torch_mlp(x, p, s, pre_act):
-    names = sorted(k for k in p if k.startswith("MaskedBatchNorm"))
-    dn = sorted(k for k in p if k.startswith("TorchDense"))
-    bi = 0
-    if pre_act:
-        x = torch.relu(torch_bn(x, p[names[bi]], s[names[bi]]))
-        bi += 1
-    for d in dn:
-        x = torch_dense(x, p[d])
-        x = torch.relu(torch_bn(x, p[names[bi]], s[names[bi]]))
-        bi += 1
-    return x
+    return t_mlp(x, p, s, pre_act)
 
 
 def torch_gine(x, senders, receivers, e, p, mlp_p, mlp_s):
@@ -160,25 +126,8 @@ def test_activation_parity_vs_torch(rng):
     assert np.all(np.isfinite(got))
 
 
-def torch_bn_train(x, p):
-    """BatchNorm with the batch's OWN biased statistics (train mode)."""
-    mean = x.mean(dim=0)
-    var = x.var(dim=0, unbiased=False)
-    return (x - mean) / torch.sqrt(var + 1e-5) * t(p["scale"]) + t(p["bias"])
-
-
 def torch_mlp_train(x, p, pre_act):
-    names = sorted(k for k in p if k.startswith("MaskedBatchNorm"))
-    dn = sorted(k for k in p if k.startswith("TorchDense"))
-    bi = 0
-    if pre_act:
-        x = torch.relu(torch_bn_train(x, p[names[bi]]))
-        bi += 1
-    for d in dn:
-        x = torch_dense(x, p[d])
-        x = torch.relu(torch_bn_train(x, p[names[bi]]))
-        bi += 1
-    return x
+    return t_mlp(x, p, None, pre_act)
 
 
 def torch_gine_train(x, senders, receivers, e, p, mlp_p):

@@ -23,36 +23,17 @@ from tests.conftest import random_graph
 
 torch = pytest.importorskip("torch")
 
+from tests.torch_ref import (  # noqa: E402  (after importorskip)
+    abs_var as _abs_var,
+    randomize as _randomize,
+    t,
+    t_bn,
+    t_dense,
+    t_mlp,
+)
+
 D = 8
 HEADS = 2
-
-
-def t(x):
-    return torch.tensor(np.asarray(x), dtype=torch.float64)
-
-
-def t_bn(x, p, s):
-    return (x - t(s["mean"])) / torch.sqrt(t(s["var"]) + 1e-5) * t(
-        p["scale"]
-    ) + t(p["bias"])
-
-
-def t_dense(x, p):
-    return x @ t(p["kernel"]) + t(p["bias"])
-
-
-def t_mlp(x, p, s, pre_act, act):
-    bns = sorted(k for k in p if k.startswith("MaskedBatchNorm"))
-    dns = sorted(k for k in p if k.startswith("TorchDense"))
-    bi = 0
-    if pre_act:
-        x = act(t_bn(x, p[bns[bi]], s[bns[bi]]))
-        bi += 1
-    for d in dns:
-        x = t_dense(x, p[d])
-        x = act(t_bn(x, p[bns[bi]], s[bns[bi]]))
-        bi += 1
-    return x
 
 
 def torch_forward(g: GraphData, params, stats):
@@ -116,24 +97,6 @@ def torch_forward(g: GraphData, params, stats):
     g_emb = h2.sum(dim=0, keepdim=True)  # pool=add
     out = torch.relu(t_dense(g_emb, params["head1"]))
     return t_dense(out, params["head2"])
-
-
-def _randomize(tree, rng):
-    leaves, treedef = jax.tree_util.tree_flatten(tree)
-    out = [
-        jnp.asarray(rng.normal(0.0, 0.5, leaf.shape).astype(np.float32))
-        for leaf in leaves
-    ]
-    return jax.tree_util.tree_unflatten(treedef, out)
-
-
-def _abs_var(tree):
-    def fix(path, leaf):
-        if path[-1].key == "var":
-            return jnp.abs(leaf) + 0.5
-        return leaf
-
-    return jax.tree_util.tree_map_with_path(fix, tree)
 
 
 def test_gps_activation_parity_vs_torch(rng):

@@ -25,23 +25,17 @@ from tests.conftest import random_graph
 
 torch = pytest.importorskip("torch")
 
+from tests.torch_ref import (  # noqa: E402  (after importorskip)
+    abs_var as _abs_var,
+    randomize as _randomize,
+    t,
+    t_bn,
+    t_dense,
+)
+
 LAYERS = 2
 HIDDEN = 8
 NTD = 4  # node_type_dim
-
-
-def t(x):
-    return torch.tensor(np.asarray(x), dtype=torch.float64)
-
-
-def t_bn(x, p, s):
-    return (x - t(s["mean"])) / torch.sqrt(t(s["var"]) + 1e-5) * t(
-        p["scale"]
-    ) + t(p["bias"])
-
-
-def t_dense(x, p):
-    return x @ t(p["kernel"]) + t(p["bias"])
 
 
 def torch_forward(big: GraphData, params, stats):
@@ -112,24 +106,6 @@ def torch_forward(big: GraphData, params, stats):
     g = torch.nn.functional.elu(t_dense(g, params["fc1"]))
     g = torch.nn.functional.elu(t_dense(g, params["fc2"]))
     return t_dense(g, params["fc3"])
-
-
-def _randomize(tree, rng):
-    leaves, treedef = jax.tree_util.tree_flatten(tree)
-    out = [
-        jnp.asarray(rng.normal(0.0, 0.5, leaf.shape).astype(np.float32))
-        for leaf in leaves
-    ]
-    return jax.tree_util.tree_unflatten(treedef, out)
-
-
-def _abs_var(tree):
-    def fix(path, leaf):
-        if path[-1].key == "var":
-            return jnp.abs(leaf) + 0.5
-        return leaf
-
-    return jax.tree_util.tree_map_with_path(fix, tree)
 
 
 def test_i2gnn_activation_parity_vs_torch(rng):

@@ -23,22 +23,17 @@ from escgnn_tpu.models.ogb_gnn import OgbGNN, OgbGNNConfig
 
 torch = pytest.importorskip("torch")
 
+from tests.torch_ref import (  # noqa: E402  (after importorskip)
+    abs_var as _abs_var,
+    randomize as _randomize,
+    t,
+    t_bn,
+    t_dense,
+    t_mlp,
+)
+
 D = 8
 LAYERS = 2
-
-
-def t(x):
-    return torch.tensor(np.asarray(x), dtype=torch.float64)
-
-
-def t_bn(x, p, s):
-    return (x - t(s["mean"])) / torch.sqrt(t(s["var"]) + 1e-5) * t(
-        p["scale"]
-    ) + t(p["bias"])
-
-
-def t_dense(x, p):
-    return x @ t(p["kernel"]) + t(p["bias"])
 
 
 def t_featsum(feats, p):
@@ -46,21 +41,6 @@ def t_featsum(feats, p):
     for i in range(feats.shape[1]):
         out += t(p[f"emb_{i}"]["embedding"])[feats[:, i].astype(np.int64)]
     return out
-
-
-def t_mlp(x, p, s, pre_act):
-    """flax MLP: optional pre [BN->relu], then per feature Dense->BN->relu."""
-    bns = sorted(k for k in p if k.startswith("MaskedBatchNorm"))
-    dns = sorted(k for k in p if k.startswith("TorchDense"))
-    bi = 0
-    if pre_act:
-        x = torch.relu(t_bn(x, p[bns[bi]], s[bns[bi]]))
-        bi += 1
-    for d in dns:
-        x = t_dense(x, p[d])
-        x = torch.relu(t_bn(x, p[bns[bi]], s[bns[bi]]))
-        bi += 1
-    return x
 
 
 def torch_forward(g, params, stats):
@@ -111,24 +91,6 @@ def torch_forward(g, params, stats):
 
     g_emb = h_list[-1].mean(dim=0, keepdim=True)  # JK last, mean pool
     return t_dense(g_emb, params["graph_pred_linear"])
-
-
-def _randomize(tree, rng):
-    leaves, treedef = jax.tree_util.tree_flatten(tree)
-    out = [
-        jnp.asarray(rng.normal(0.0, 0.5, leaf.shape).astype(np.float32))
-        for leaf in leaves
-    ]
-    return jax.tree_util.tree_unflatten(treedef, out)
-
-
-def _abs_var(tree):
-    def fix(path, leaf):
-        if path[-1].key == "var":
-            return jnp.abs(leaf) + 0.5
-        return leaf
-
-    return jax.tree_util.tree_map_with_path(fix, tree)
 
 
 def test_ogb_activation_parity_vs_torch():
