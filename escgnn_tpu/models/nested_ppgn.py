@@ -56,13 +56,19 @@ def diag_offdiag_pool_masked(x, node_mask_dense, op: str):
     return sign * jnp.concatenate([d, o], axis=-1)
 
 
-def _local_index(global_idx, segment, num_segments, mask):
-    """Index of each element within its (contiguous) segment."""
+def _local_index(global_idx, segment, num_segments, mask, budget):
+    """Index of each element within its (contiguous) segment, clipped to
+    [0, budget). MASKED entries return `budget` (out of range) so dense
+    (..., budget) scatters DROP them — padding segments can carry
+    in-range parent ids (batching.py parks them on the last real graph),
+    and an in-range local slot would let their scatter collide with a
+    real slot (observed: a padding segment's `.set(False)` stomping a
+    real segment's mask bit)."""
     first = segment_min(
         global_idx.astype(jnp.float32), segment, num_segments, mask=mask
     )
     loc = global_idx - first[segment].astype(jnp.int32)
-    return jnp.where(mask, loc, 0)
+    return jnp.where(mask, jnp.minimum(loc, budget - 1), budget)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -116,8 +122,7 @@ class NestedPPGN(nn.Module):
 
         # ---- dense per-subgraph build (S, M, M, C)
         idx = jnp.arange(batch.num_nodes, dtype=jnp.int32)
-        nloc = _local_index(idx, batch.node_segment, S, node_mask)
-        nloc = jnp.minimum(nloc, M - 1)
+        nloc = _local_index(idx, batch.node_segment, S, node_mask, M)
         nm = jnp.zeros((S, M), bool).at[batch.node_segment, nloc].set(
             node_mask
         )
@@ -170,9 +175,8 @@ class NestedPPGN(nn.Module):
         K = orig_adj.shape[1]
         sidx = jnp.arange(S, dtype=jnp.int32)
         sloc = _local_index(
-            sidx, batch.segment_graph, G, batch.segment_mask
+            sidx, batch.segment_graph, G, batch.segment_mask, K
         )
-        sloc = jnp.minimum(sloc, K - 1)
         sm = jnp.zeros((G, K), bool).at[batch.segment_graph, sloc].set(
             batch.segment_mask
         )
