@@ -38,7 +38,15 @@ def esc_transform(
         )
         enc = esc_encode_oracle(g.num_nodes, g.edge_index, cfg, rng=rng)
     else:
-        enc = esc_encode(g.num_nodes, g.edge_index, cfg)
+        # native C++ core first (bit-equal, ~7x faster — OpenMP across
+        # edges, Gauss-Jordan rd); returns None when it declines (build
+        # unavailable, non-default layout, or a failed Laplacian residual
+        # check), then the vectorized numpy/SVD path takes over
+        from escgnn_tpu.native.escfeat import esc_encode_native
+
+        enc = esc_encode_native(g.num_nodes, g.edge_index, cfg)
+        if enc is None:
+            enc = esc_encode(g.num_nodes, g.edge_index, cfg)
     edge_attr = g.edge_attr
     if edge_attr is not None and cfg.self_loop:
         # Original non-self-loop edges keep their attrs (in order); the
