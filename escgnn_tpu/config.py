@@ -109,7 +109,8 @@ DEFAULTS = {
         "dropout": 0.0,
         "attn_dropout": 0.0,
         "local_model": "gine",  # gine | gatedgcn | pna
-        "global_model": "transformer",  # transformer | linear | bigbird
+        "global_model": "transformer",  # transformer | linear | bigbird | san
+        "san_gamma": 1e-5,
         "pna_towers": 4,
         "avg_deg_log": 0.0,  # 0 -> computed from the train split (pna)
         "bigbird_window": 3,

@@ -68,6 +68,10 @@ class GPSConfig:
     # none (edges only) = learned constant edge embedding
     node_encoder_kind: str = "embed"  # embed | linear
     edge_encoder_kind: str = "embed"  # embed | linear | none
+    # SAN global attention (global_model="san"): fake-edge weight gamma
+    # and whether the complement term is used at all
+    san_gamma: float = 1e-5
+    san_full_graph: bool = True
     degree_vocab: int = 64
     node_vocab: int = 100
     edge_vocab: int = 100
@@ -168,6 +172,114 @@ class DenseAttention(nn.Module):
         out = TorchDense(D, name="out")(out)
         # back to the sparse node list
         return out[batch.node_graph, batch.node_local]
+
+
+class SANAttention(nn.Module):
+    """SAN multi-head attention (reference
+    `GraphGPS/graphgps/layer/san_layer.py:10-121`): real edges score
+    Q·K·E per head over the sparse edge list; with `full_graph`, FAKE
+    (complement) edges score Q2·K2·E2 with one shared fake-edge
+    embedding, mixed as 1/(gamma+1) real + gamma/(gamma+1) fake and
+    normalized per destination.
+
+    TPU design: the reference materializes the complement edge list
+    (dynamic size); here the fake-edge term is computed densely on the
+    (G, M, M) pair grid with a static mask (real pairs, self-loops and
+    padding excluded) — same math, static shapes.
+    """
+
+    dim_h: int
+    num_heads: int
+    gamma: float = 1e-5
+    full_graph: bool = True
+
+    @nn.compact
+    def __call__(self, h, edge_attr, batch: GraphBatch, *,
+                 deterministic: bool):
+        G = batch.num_graphs
+        D, Hh = self.dim_h, self.num_heads
+        hd = D // Hh
+        N = h.shape[0]
+
+        def proj(name):
+            return TorchDense(D, name=name)
+
+        q = proj("q")(h).reshape(N, Hh, hd)
+        k = proj("k")(h).reshape(N, Hh, hd)
+        v = proj("v")(h).reshape(N, Hh, hd)
+        e = proj("e")(edge_attr).reshape(-1, Hh, hd)
+
+        # real-edge scores: exp(clamp(sum_d K[src] Q[dst] E / sqrt(d)))
+        s = jnp.sum(
+            jnp.take(k, batch.senders, axis=0)
+            * jnp.take(q, batch.receivers, axis=0) * e,
+            axis=-1,
+        ) / jnp.sqrt(float(hd))
+        s = jnp.exp(jnp.clip(s, -5.0, 5.0))  # (E, Hh)
+        s = s * batch.edge_mask[:, None]
+        if self.full_graph:
+            s = s / (self.gamma + 1.0)
+        msg = jnp.take(v, batch.senders, axis=0) * s[..., None]
+        wV = segment_sum(
+            msg.reshape(-1, Hh * hd), batch.receivers, N,
+            mask=batch.edge_mask, indices_are_sorted=True,
+        ).reshape(N, Hh, hd)
+        Z = segment_sum(
+            s, batch.receivers, N, mask=batch.edge_mask,
+            indices_are_sorted=True,
+        )  # (N, Hh)
+
+        if self.full_graph:
+            # static per-graph dense budget (the batcher pads N to
+            # G * max_nodes_per_graph; node_local < M for real nodes)
+            M = max(-(-N // max(G, 1)), 1)
+            q2 = proj("q2")(h).reshape(N, Hh, hd)
+            k2 = proj("k2")(h).reshape(N, Hh, hd)
+            fake = self.param(
+                "fake_edge_emb", nn.initializers.normal(1.0), (D,)
+            )
+            e2 = proj("e2")(fake).reshape(Hh, hd)
+
+            def dense(x):
+                out = jnp.zeros((G, M, Hh, hd), x.dtype)
+                return out.at[batch.node_graph, batch.node_local].set(
+                    jnp.where(batch.node_mask[:, None, None], x, 0.0)
+                )
+
+            dq2, dk2, dv = dense(q2), dense(k2), dense(v)
+            # s2[g, h, src m, dst n]
+            s2 = jnp.einsum(
+                "gmhd,gnhd,hd->ghmn", dk2, dq2, e2,
+                preferred_element_type=jnp.float32,
+            ) / jnp.sqrt(float(hd))
+            s2 = jnp.exp(jnp.clip(s2, -5.0, 5.0)) * (
+                self.gamma / (self.gamma + 1.0)
+            )
+            # fake-pair mask: both real, not self, not a real edge
+            nmask = jnp.zeros((G, M), bool).at[
+                batch.node_graph, batch.node_local
+            ].set(batch.node_mask)
+            pair = nmask[:, :, None] & nmask[:, None, :]
+            pair &= ~jnp.eye(M, dtype=bool)[None]
+            e_g = jnp.take(batch.node_graph, batch.receivers)
+            src_l = jnp.take(batch.node_local, batch.senders)
+            dst_l = jnp.take(batch.node_local, batch.receivers)
+            real = jnp.zeros((G, M, M), bool).at[e_g, src_l, dst_l].set(
+                batch.edge_mask
+            )
+            s2 = jnp.where((pair & ~real)[:, None], s2, 0.0)
+            wV2 = jnp.einsum(
+                "ghmn,gmhd->gnhd", s2, dv,
+                preferred_element_type=jnp.float32,
+            )
+            Z2 = jnp.sum(s2, axis=2)  # (G, Hh, n)
+            wV = wV + wV2[batch.node_graph, batch.node_local]
+            Z = Z + jnp.transpose(Z2, (0, 2, 1))[
+                batch.node_graph, batch.node_local
+            ]
+
+        out = wV / (Z[..., None] + 1e-6)
+        return out.reshape(N, D)
 
 
 class GatedGCNConv(nn.Module):
@@ -290,11 +402,17 @@ class GPSLayer(nn.Module):
             h_local, batch.node_mask, use_running_average
         )
 
-        # global attention (dense transformer | linear Performer | bigbird)
+        # global attention (dense transformer | linear Performer | bigbird
+        # | SAN real+fake edge attention)
         if cfg.global_model == "linear":
             h_attn = LinearAttention(
                 D, cfg.num_heads, name="self_attn"
             )(h, batch, deterministic=deterministic)
+        elif cfg.global_model == "san":
+            h_attn = SANAttention(
+                D, cfg.num_heads, gamma=cfg.san_gamma,
+                full_graph=cfg.san_full_graph, name="self_attn",
+            )(h, edge_attr, batch, deterministic=deterministic)
         else:
             h_attn = DenseAttention(
                 D, cfg.num_heads, cfg.use_attn_bias, cfg.spd_vocab,

@@ -190,6 +190,7 @@ def _gps_config(cfg, splits) -> GPSConfig:
         dim_h=m.dim_h, num_layers=m.num_layers, num_heads=m.num_heads,
         dropout=m.dropout, attn_dropout=m.attn_dropout,
         local_model=m.local_model, global_model=m.global_model,
+        san_gamma=m.san_gamma,
         use_esc=m.use_esc, use_attn_bias=m.use_attn_bias,
         use_lap_pe=m.use_lap_pe, use_signnet=m.use_signnet,
         use_rwse=m.use_rwse,

@@ -235,3 +235,88 @@ def test_gps_dataset_zoo(tmp_path, name, node_enc, edge_enc, graph_pred):
     expect = b.y.shape[0]
     assert out.shape == (expect, 1)
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_san_attention_matches_ragged_oracle(gps_batch):
+    """SANAttention (real + fake complement edges) equals a per-graph
+    ragged numpy oracle of the reference math (san_layer.py:38-121)."""
+    from escgnn_tpu.models.gps import SANAttention
+
+    D, HEADS = 16, 2
+    hd = D // HEADS
+    gamma = 0.3
+    b = gps_batch
+    N = b.num_nodes
+    rng_np = np.random.default_rng(0)
+    h = jnp.asarray(rng_np.normal(size=(N, D)).astype(np.float32))
+    e = jnp.asarray(
+        rng_np.normal(size=(b.num_edges, D)).astype(np.float32)
+    )
+    mod = SANAttention(D, HEADS, gamma=gamma, full_graph=True)
+    variables = mod.init(jax.random.key(0), h, e, b, deterministic=True)
+    out = np.asarray(
+        mod.apply(variables, h, e, b, deterministic=True)
+    )
+
+    p = jax.tree.map(np.asarray, variables["params"])
+
+    def lin(x, name):
+        return x @ p[name]["kernel"] + p[name]["bias"]
+
+    hn = np.asarray(h)
+    q = lin(hn, "q").reshape(N, HEADS, hd)
+    k = lin(hn, "k").reshape(N, HEADS, hd)
+    v = lin(hn, "v").reshape(N, HEADS, hd)
+    ee = lin(np.asarray(e), "e").reshape(-1, HEADS, hd)
+    q2 = lin(hn, "q2").reshape(N, HEADS, hd)
+    k2 = lin(hn, "k2").reshape(N, HEADS, hd)
+    e2 = lin(p["fake_edge_emb"], "e2").reshape(HEADS, hd)
+
+    senders = np.asarray(b.senders)
+    receivers = np.asarray(b.receivers)
+    emask = np.asarray(b.edge_mask)
+    nmask = np.asarray(b.node_mask)
+    ngraph = np.asarray(b.node_graph)
+
+    wV = np.zeros((N, HEADS, hd))
+    Z = np.zeros((N, HEADS))
+    for idx in range(len(senders)):
+        if not emask[idx]:
+            continue
+        s_, r_ = senders[idx], receivers[idx]
+        sc = np.exp(np.clip(
+            (k[s_] * q[r_] * ee[idx]).sum(-1) / np.sqrt(hd), -5, 5
+        )) / (gamma + 1.0)
+        wV[r_] += v[s_] * sc[:, None]
+        Z[r_] += sc
+    real = set(
+        (int(s_), int(r_))
+        for s_, r_, m in zip(senders, receivers, emask) if m
+    )
+    for i in range(N):
+        for j in range(N):
+            if i == j or not (nmask[i] and nmask[j]):
+                continue
+            if ngraph[i] != ngraph[j] or (i, j) in real:
+                continue
+            sc = np.exp(np.clip(
+                (k2[i] * q2[j] * e2).sum(-1) / np.sqrt(hd), -5, 5
+            )) * gamma / (gamma + 1.0)
+            wV[j] += v[i] * sc[:, None]
+            Z[j] += sc
+    want = (wV / (Z[..., None] + 1e-6)).reshape(N, D)
+    np.testing.assert_allclose(
+        out[nmask], want[nmask], rtol=2e-4, atol=2e-4
+    )
+
+
+def test_gps_san_global(gps_batch):
+    cfg = GPSConfig(
+        dim_h=16, num_layers=2, num_heads=2, use_attn_bias=False,
+        global_model="san", san_gamma=0.1,
+    )
+    model = GPSModel(cfg)
+    variables = model.init(jax.random.key(0), gps_batch)
+    out = model.apply(variables, gps_batch)
+    assert out.shape == (gps_batch.num_graphs, 1)
+    assert np.all(np.isfinite(np.asarray(out)))
