@@ -160,9 +160,11 @@ def esc_encode(
 
     eid_flat, node_flat = np.nonzero(S)
 
-    # --- degree histogram ---
+    # --- degree histogram (clamped to the last bucket: a degree >= 200
+    # would otherwise spill into the z0 block; same rule as escfeat.cpp) ---
     deg_all = S.astype(np.int32) @ M.T  # (E, N): deg[e, w] = sum_x M[w,x]*S[e,x]
-    np.add.at(H, (eid_flat, deg_all[eid_flat, node_flat]), 1.0)
+    deg_clip = np.minimum(deg_all, lay.deg_buckets - 1)
+    np.add.at(H, (eid_flat, deg_clip[eid_flat, node_flat]), 1.0)
 
     # --- z histograms ---
     np.add.at(H, (eid_flat, lay.z0_offset + z0[eid_flat, node_flat]), 1.0)

@@ -230,9 +230,21 @@ class SANAttention(nn.Module):
         )  # (N, Hh)
 
         if self.full_graph:
-            # static per-graph dense budget (the batcher pads N to
-            # G * max_nodes_per_graph; node_local < M for real nodes)
-            M = max(-(-N // max(G, 1)), 1)
+            # static per-graph dense budget, same sources as
+            # DenseAttention: explicit (attn_bias / dense_m extras) or
+            # the uniform-layout block size; ceil(N/G) as the last
+            # resort (valid for from_graphs/uniform specs which pad N to
+            # G * max_nodes_per_graph — exact-packed batches must carry
+            # dense_m or node_local may exceed the guess)
+            ex = batch.extras or {}
+            if "attn_bias" in ex:
+                M = ex["attn_bias"].shape[1]
+            elif "dense_m" in ex:
+                M = int(ex["dense_m"])
+            elif batch.nodes_per_graph:
+                M = int(batch.nodes_per_graph)
+            else:
+                M = max(-(-N // max(G, 1)), 1)
             q2 = proj("q2")(h).reshape(N, Hh, hd)
             k2 = proj("k2")(h).reshape(N, Hh, hd)
             fake = self.param(

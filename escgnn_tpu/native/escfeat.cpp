@@ -174,12 +174,14 @@ void *escfeat_encode(const int32_t *src_in, const int32_t *dst_in,
         z0[w] = in_u ? Du[w] : cap;
         z1[w] = in_v ? Dv[w] : cap;
       }
-      // degree + z histograms over members
+      // degree + z histograms over members (degree clamped to the last
+      // bucket — same rule as the numpy encoder)
       for (int32_t w : members) {
         int d = 0;
         for (int64_t k = adj_off[w]; k < adj_off[w + 1]; k++)
           if (member[adj[k]]) d++;
-        if (d < lay.deg_buckets) H[d] += 1.0f;
+        if (d >= lay.deg_buckets) d = lay.deg_buckets - 1;
+        H[d] += 1.0f;
         H[lay.z0_off() + z0[w]] += 1.0f;
         H[lay.z1_off() + z1[w]] += 1.0f;
       }
@@ -262,7 +264,10 @@ void *escfeat_encode(const int32_t *src_in, const int32_t *dst_in,
         if (a == b2) continue;
         if (member[a] && member[b2]) {
           int tcode = 216 * z0[a] + 36 * z1[a] + 6 * z0[b2] + z1[b2];
-          H[lay.et_off() + tcode] += 1.0f;
+          // labels <= h+1 <= 5 (wrapper declines h > 4) => tcode <= 1295;
+          // guard anyway against an out-of-contract caller
+          if (tcode < lay.edge_type_buckets)
+            H[lay.et_off() + tcode] += 1.0f;
         }
       }
       // sparsify (ascending bucket order)

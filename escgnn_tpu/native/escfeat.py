@@ -33,11 +33,17 @@ def _load():
         try:
             if (not os.path.exists(_LIB)
                     or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
+                # build to a private temp path and rename atomically: the
+                # forked featurizer workers may race this build, and a
+                # concurrent g++ writing the final path could be dlopen'd
+                # half-written (the per-process lock doesn't help there)
+                tmp = f"{_LIB}.build.{os.getpid()}"
                 subprocess.run(
                     ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-                     "-std=c++17", "-fopenmp", "-o", _LIB, _SRC],
+                     "-std=c++17", "-fopenmp", "-o", tmp, _SRC],
                     check=True, capture_output=True,
                 )
+                os.replace(tmp, _LIB)
             lib = ctypes.CDLL(_LIB)
         except (OSError, subprocess.CalledProcessError):
             _build_failed = True
@@ -76,6 +82,10 @@ def esc_encode_native(num_nodes: int, edge_index, cfg):
         return None
     if cfg.max_nodes_per_hop is not None:
         return None  # sampling lives in the per-edge python encoder
+    if cfg.h > 4:
+        # base-6 edge-type packing only fits 1300 buckets for labels
+        # <= 5 (h + 1); larger h must use the numpy encoder's layout
+        return None
     lay = cfg.layout
     if (lay.deg_buckets, lay.z_classes, lay.rd_buckets,
             lay.edge_type_buckets) != (200, 100, 100, 1300):

@@ -30,11 +30,14 @@ def _load():
         if _lib is not None:
             return _lib
         if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
+            # atomic build (see escfeat.py: forked workers may race this)
+            tmp = f"{_LIB}.build.{os.getpid()}"
             subprocess.run(
                 ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-                 "-o", _LIB, _SRC],
+                 "-o", tmp, _SRC],
                 check=True,
             )
+            os.replace(tmp, _LIB)
         lib = ctypes.CDLL(_LIB)
         i64p = ctypes.POINTER(ctypes.c_int64)
         lib.kgnn_compute.restype = ctypes.c_void_p

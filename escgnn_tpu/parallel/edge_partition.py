@@ -107,6 +107,22 @@ def batch_shardings_2d(
     )
 
 
+def shard_batch_2d(
+    batch: GraphBatch,
+    mesh: Mesh,
+    data_axis: str = "data",
+    model_axis: str = "model",
+):
+    """Device-put a host batch with the 2-D dp x ep shardings; drops the
+    sorted-CSR expansion view like `shard_batch_by_edges` (the Pallas
+    backward assumes an unpartitioned edge axis)."""
+    batch = batch.replace(enc_edge_perm=None, enc_row_sorted=None)
+    shardings = batch_shardings_2d(batch, mesh, data_axis, model_axis)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(jnp.asarray(x), s), batch, shardings
+    )
+
+
 def make_dp_ep_train_step(
     model,
     loss_fn: Callable,
@@ -118,40 +134,16 @@ def make_dp_ep_train_step(
     """Jitted train step over a 2-D (data, model) mesh: graphs data-
     parallel, each group's edges partitioned over the model axis.
     Numerically identical to the single-device step (GSPMD only moves
-    where partial sums are computed); see tests/test_edge_partition.py."""
-    repl = NamedSharding(mesh, P())
-
-    def step(state: TrainState, batch: GraphBatch, rng: jax.Array):
-        def compute(params):
-            out, mut = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                batch,
-                deterministic=False,
-                use_running_average=False,
-                mutable=["batch_stats"],
-                rngs={"dropout": rng},
-            )
-            return loss_fn(out, batch), mut["batch_stats"]
-
-        (loss, new_stats), grads = jax.value_and_grad(compute, has_aux=True)(
-            state.params
-        )
-        updates, new_opt = state.tx.update(grads, state.opt_state, state.params)
-        return (
-            state.replace(
-                step=state.step + 1,
-                params=optax.apply_updates(state.params, updates),
-                batch_stats=new_stats,
-                opt_state=new_opt,
-            ),
-            loss,
-        )
-
-    bsh = batch_shardings_2d(example_batch, mesh, data_axis, model_axis)
-    return jax.jit(
-        step,
-        in_shardings=(None, bsh, repl),
-        donate_argnums=(0,),
+    where partial sums are computed); see tests/test_edge_partition.py.
+    Feed batches through `shard_batch_2d`."""
+    example_batch = example_batch.replace(
+        enc_edge_perm=None, enc_row_sorted=None
+    )
+    return make_ep_train_step(
+        model, loss_fn, mesh, example_batch,
+        shardings=batch_shardings_2d(
+            example_batch, mesh, data_axis, model_axis
+        ),
     )
 
 
@@ -161,9 +153,12 @@ def make_ep_train_step(
     mesh: Mesh,
     example_batch: GraphBatch,
     axis: str = "model",
+    shardings=None,
 ):
     """Jitted train step whose inputs carry edge shardings; XLA partitions
-    compute + gradients across the mesh axis automatically."""
+    compute + gradients across the mesh axis automatically. `shardings`
+    overrides the default 1-D edge specs (the 2-D dp x ep step reuses
+    this closure with `batch_shardings_2d`)."""
     repl = NamedSharding(mesh, P())
 
     def step(state: TrainState, batch: GraphBatch, rng: jax.Array):
@@ -193,7 +188,9 @@ def make_ep_train_step(
         )
 
     # state/rng replicated; batch edge arrays sharded
-    bsh = batch_shardings(example_batch, mesh, axis)
+    bsh = shardings if shardings is not None else batch_shardings(
+        example_batch, mesh, axis
+    )
     return jax.jit(
         step,
         in_shardings=(None, bsh, repl),

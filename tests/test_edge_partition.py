@@ -99,7 +99,10 @@ def test_dp_ep_2d_gradients_match_single_device():
     from jax.sharding import Mesh
 
     from escgnn_tpu.ops import zemb as zemb_mod
-    from escgnn_tpu.parallel.edge_partition import batch_shardings_2d
+    from escgnn_tpu.parallel.edge_partition import (
+        batch_shardings_2d,
+        shard_batch_2d,
+    )
 
     zemb_mod.set_backward_matmul_dtype(jnp.float32)
     try:
@@ -128,11 +131,10 @@ def test_dp_ep_2d_gradients_match_single_device():
 
         devs = np.asarray(jax.devices()[:8]).reshape(2, 4)
         mesh = Mesh(devs, ("data", "model"))
-        # sorted-CSR expansion view assumes an unpartitioned edge axis
-        bh = batch_host.replace(enc_edge_perm=None, enc_row_sorted=None)
-        bsh = batch_shardings_2d(bh, mesh)
-        b_sh = jax.tree.map(
-            lambda x, s: jax.device_put(jnp.asarray(x), s), bh, bsh
+        b_sh = shard_batch_2d(batch_host, mesh)
+        bsh = batch_shardings_2d(
+            batch_host.replace(enc_edge_perm=None, enc_row_sorted=None),
+            mesh,
         )
         g_2d = jax.jit(jax.grad(loss_of), in_shardings=(None, bsh))(
             params, b_sh
