@@ -132,6 +132,13 @@ def esc_encode(
     lay = cfg.layout
     n = int(num_nodes)
     h = cfg.h
+    if 216 * (h + 1) + 36 * (h + 1) + 6 * (h + 1) + (h + 1) >= \
+            lay.edge_type_buckets:
+        raise ValueError(
+            f"h={h} overflows the {lay.edge_type_buckets}-bucket edge-type "
+            "block (base-6 packing needs labels <= 5, i.e. h <= 4 — the "
+            "same bound as the reference's 1800-dim layout)"
+        )
     cap = h + 1
 
     edges, loop_mask = canonical_edges(n, edge_index, cfg.self_loop)
