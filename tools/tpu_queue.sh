@@ -12,3 +12,9 @@ timeout 1200 python -u run_gps.py --cfg configs/gps/counting-GPS.yaml dataset.nu
 timeout 5400 python -u run_graphcount.py --dataset count_graphlet --target 4 --h 4 --batch_size 32 --lr 5e-3 --epochs 1200 --num_graphs 5000 --res_dir results/count_graphlet_t4 > results/count_graphlet_t4.out 2>&1
 timeout 1200 python -u bench.py > /tmp/q_bench.txt 2>&1
 echo TPU_QUEUE_DONE > /tmp/tpu_queue.status
+# quality reruns for the weaker counting targets (only reached if the
+# outage leaves enough wall clock)
+timeout 5400 python -u run_graphcount.py --target 2 --h 2 --batch_size 128 --lr 5e-3 --epochs 3000 --num_graphs 10000 --res_dir results/count_cycle_t2_long > results/count_cycle_t2_long.out 2>&1
+timeout 5400 python -u run_graphcount.py --target 3 --h 3 --batch_size 128 --lr 1e-2 --epochs 3000 --num_graphs 10000 --res_dir results/count_cycle_t3_long > results/count_cycle_t3_long.out 2>&1
+timeout 5400 python -u run_graphcount.py --dataset count_graphlet --target 3 --h 2 --batch_size 128 --lr 4e-3 --epochs 2000 --num_graphs 10000 --res_dir results/count_graphlet_t3_long > results/count_graphlet_t3_long.out 2>&1
+echo TPU_QUEUE_ALL_DONE >> /tmp/tpu_queue.status
