@@ -320,3 +320,50 @@ def test_gps_san_global(gps_batch):
     out = model.apply(variables, gps_batch)
     assert out.shape == (gps_batch.num_graphs, 1)
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_dump_attention_key_naming(tmp_path, gps_batch):
+    """run_gps.dump_attention writes layer-named npz keys (the
+    SequenceKey path entries render as indices, not 'attn_weights/[0]')."""
+    import run_gps
+    from escgnn_tpu.train.loop import TrainState, adam_with_plateau
+
+    cfg = GPSConfig(dim_h=16, num_layers=2, num_heads=2, use_attn_bias=True)
+    model = GPSModel(cfg)
+    variables = model.init(jax.random.key(0), gps_batch)
+    state = TrainState.create(
+        variables["params"], variables.get("batch_stats", {}),
+        adam_with_plateau(1e-3),
+    )
+
+    class _Spec:
+        pass
+
+    # minimal splits/spec stand-ins: dump uses batch_iterator(test, spec)
+    from escgnn_tpu.data.batching import BatchSpec
+    from escgnn_tpu.data.container import GraphData
+    from escgnn_tpu.featurize.escgnn import EscConfig
+    from escgnn_tpu.featurize.spd import attach_attn_bias
+    from escgnn_tpu.featurize.transform import esc_transform
+
+    rng_np = np.random.default_rng(5)
+    graphs = []
+    for _ in range(2):
+        n, ei = random_graph(rng_np, max_n=7)
+        g = GraphData(
+            num_nodes=n, edge_index=ei,
+            x=rng_np.integers(0, 20, n).astype(np.int32)[:, None],
+            edge_attr=rng_np.integers(1, 4, ei.shape[1]).astype(np.int32),
+            y=rng_np.normal(size=(1,)).astype(np.float32),
+        )
+        graphs.append(
+            attach_attn_bias(esc_transform(g, EscConfig(h=2)))
+        )
+    spec = BatchSpec.from_graphs(graphs, batch_size=2)
+    out = str(tmp_path / "attn.npz")
+    run_gps.dump_attention(model, state, {"test": graphs}, spec, out)
+    with np.load(out) as z:
+        keys = sorted(z.files)
+        assert keys == ["layer0/self_attn", "layer1/self_attn"], keys
+        for k in keys:
+            assert z[k].ndim == 4  # (G, heads, M, M)
