@@ -321,6 +321,14 @@ class BaselineGNNConfig:
     sort_k: int = 10
     node_embed_vocab: int = 0  # int node types -> embedding
     jk: bool = False  # jumping-knowledge concat of all layers
+    # node-level cycle heads (reference kernel/gcn.py use_cycle=True,
+    # kernel/train_eval.py:333-530 cycle trainers): skip graph pooling
+    # and emit one prediction per original node
+    node_level: bool = False
+    # deep supervision: per-layer auxiliary predictions ys[i] from the
+    # JK-concat of layers <= i (reference kernel/gcn.py:104-113
+    # multi_lin/multi_bn/multi_lin2 heads); forward returns (out, ys)
+    multi_layer: bool = False
 
 
 class BaselineGNN(nn.Module):
@@ -410,14 +418,59 @@ class BaselineGNN(nn.Module):
         if cfg.jk:
             h = jnp.concatenate(xs, axis=-1)
 
+        def to_rows(feats):
+            """Per-original-node rows: with node copies, mean-pool each
+            copy's nodes to its segment (one segment per original node,
+            reference `kernel/gcn.py:131-135`)."""
+            if cfg.nested:
+                assert batch.node_segment is not None, "nested pool needs copies"
+                return segment_mean(
+                    feats, batch.node_segment, batch.segment_mask.shape[0],
+                    mask=node_mask,
+                )
+            return feats
+
+        ys = []
+        if cfg.multi_layer:
+            # one aux head per layer after the first: predict from the
+            # JK-concat of layers <= i (reference kernel/gcn.py:104-113);
+            # aux rows live at the same level as the main head (node rows
+            # for the node-split trainers, graph rows for the GC trainer,
+            # reference kernel/train_eval.py:445-476 vs :564-603)
+            row_mask = batch.segment_mask if cfg.nested else node_mask
+            for i in range(1, cfg.num_layers):
+                a = to_rows(jnp.concatenate(xs[:i], axis=-1))
+                a_mask = row_mask
+                if not cfg.node_level:
+                    if cfg.nested:
+                        a = segment_mean(
+                            a, batch.segment_graph, batch.num_graphs,
+                            mask=batch.segment_mask,
+                        )
+                    else:
+                        a = segment_mean(
+                            a, batch.node_graph, batch.num_graphs,
+                            mask=node_mask,
+                        )
+                    a_mask = batch.graph_mask
+                a = TorchDense(cfg.hidden, name=f"multi_lin{i}")(a)
+                a = MaskedBatchNorm(name=f"multi_bn{i}")(
+                    a, mask=a_mask, use_running_average=use_running_average
+                )
+                a = nn.Dropout(cfg.dropout, deterministic=deterministic)(a)
+                a = nn.relu(a)
+                # aux head i predicts the first 2i-1 target columns
+                # (reference kernel/gcn.py:51 multi_lin2 -> 2*i-1 dims)
+                ys.append(TorchDense(
+                    min(2 * i - 1, cfg.out_dim), name=f"multi_lin2{i}"
+                )(a))
+
         from escgnn_tpu.models.pooling import graph_pool  # cycle-free late import
 
-        if cfg.nested:
-            assert batch.node_segment is not None, "nested pool needs copies"
-            h = segment_mean(
-                h, batch.node_segment, batch.segment_mask.shape[0],
-                mask=node_mask,
-            )
+        if cfg.node_level:
+            h = to_rows(h)
+        elif cfg.nested:
+            h = to_rows(h)
             h = segment_mean(
                 h, batch.segment_graph, batch.num_graphs,
                 mask=batch.segment_mask,
@@ -432,6 +485,8 @@ class BaselineGNN(nn.Module):
         h = TorchDense(cfg.out_dim, name="lin2")(h)
         if cfg.classify:
             h = nn.log_softmax(h, axis=-1)
+        if cfg.multi_layer:
+            return h, ys
         return h
 
 

@@ -5,6 +5,11 @@ from escgnn_tpu.train.loop import (
     PlateauScheduler,
     set_learning_rate,
 )
+from escgnn_tpu.train.cycles import (
+    train_val_cycles,
+    train_val_cycles_regression,
+    train_val_cycles_regression_GC,
+)
 
 __all__ = [
     "TrainState",
@@ -12,4 +17,7 @@ __all__ = [
     "make_eval_step",
     "PlateauScheduler",
     "set_learning_rate",
+    "train_val_cycles",
+    "train_val_cycles_regression",
+    "train_val_cycles_regression_GC",
 ]

@@ -20,6 +20,17 @@ def setup_jax(cache_dir: str | None = None) -> None:
     """
     import jax
 
+    # honor an explicit JAX_PLATFORMS request: the hosting image's
+    # sitecustomize force-registers the remote TPU backend and overrides
+    # the env var, so re-assert it through the config (must happen
+    # before backend init; same trick as tests/conftest.py)
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        try:
+            jax.config.update("jax_platforms", plat)
+        except Exception:
+            pass
+
     cache_dir = cache_dir or os.environ.get(
         "JAX_CACHE_DIR",
         os.path.join(os.path.expanduser("~"), ".cache", "escgnn_tpu", "jax"),

@@ -43,3 +43,33 @@ def negate_edge_index(edge_index, batch=None) -> np.ndarray:
     return np.stack(
         [np.concatenate(out_src), np.concatenate(out_dst)]
     ).astype(np.int64)
+
+
+def disjoint_union(graphs) -> "GraphData":  # noqa: F821
+    """Disjoint union of raw `GraphData` records into ONE graph.
+
+    Used by the node-split cycle trainers: the reference runs them on a
+    single dataset graph ("only one data actually",
+    `kernel/train_eval.py:374`, Planetoid-style); for multi-graph TU
+    datasets the union gives the same one-graph node-split protocol.
+    Only x / edge_attr / pos payloads are carried (no extras)."""
+    from escgnn_tpu.data.container import GraphData
+
+    off, ei, xs, eas, poss = 0, [], [], [], []
+    for g in graphs:
+        ei.append(np.asarray(g.edge_index) + off)
+        if g.x is not None:
+            xs.append(np.asarray(g.x))
+        if g.edge_attr is not None:
+            eas.append(np.asarray(g.edge_attr))
+        if g.pos is not None:
+            poss.append(np.asarray(g.pos))
+        off += g.num_nodes
+    return GraphData(
+        num_nodes=off,
+        edge_index=np.concatenate(ei, axis=1) if ei else
+        np.zeros((2, 0), np.int64),
+        x=np.concatenate(xs) if xs else None,
+        edge_attr=np.concatenate(eas) if eas else None,
+        pos=np.concatenate(poss) if poss else None,
+    )
