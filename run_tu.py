@@ -11,6 +11,11 @@ Nested variants (--nested) apply the NGNN node-copy pre-transform and
 pool node -> subgraph -> graph, the reference's NestedGCN/NestedGIN
 scheme (`kernel/gcn.py:166-240`).
 
+Planetoid citation datasets (--dataset Cora|Citeseer|PubMed, reference
+`kernel/datasets.py:47,68-69`) load one citation graph and require a
+cycle mode (single-graph node-split protocol; k-fold CV over graphs does
+not apply).
+
 Cycle modes (--use_cycle) run the reference's node-level cycle trainers
 (`kernel/train_eval.py:333-691`) instead of k-fold CV, with per-node
 3..6-cycle labels computed in-repo (`data/counting.py`):
@@ -152,11 +157,23 @@ def main():
     t0 = time.time()
     # cycle labels come from the RAW graphs (before any copy transform)
     raw_pre = None if args.use_cycle != "off" else pre
-    graphs = get_tu_dataset(args.dataset, root=args.data_dir,
-                            pre_transform=raw_pre)
-    classes = sorted({int(g.y[0]) for g in graphs})
-    print(f"dataset {args.dataset}: {len(graphs)} graphs, "
-          f"{len(classes)} classes  ({time.time() - t0:.1f}s)")
+    from escgnn_tpu.data.planetoid import PLANETOID_NAMES, get_planetoid
+
+    if args.dataset in PLANETOID_NAMES:
+        if args.use_cycle == "off":
+            p.error("Planetoid datasets are single citation graphs; "
+                    "use a --use_cycle mode (node-split protocol)")
+        graphs = [get_planetoid(args.dataset,
+                                root=os.path.join(args.data_dir, "..",
+                                                  "Planetoid"))]
+        print(f"dataset {args.dataset}: 1 graph, "
+              f"{graphs[0].num_nodes} nodes  ({time.time() - t0:.1f}s)")
+    else:
+        graphs = get_tu_dataset(args.dataset, root=args.data_dir,
+                                pre_transform=raw_pre)
+        classes = sorted({int(g.y[0]) for g in graphs})
+        print(f"dataset {args.dataset}: {len(graphs)} graphs, "
+              f"{len(classes)} classes  ({time.time() - t0:.1f}s)")
 
     if args.use_cycle != "off":
         return run_cycles(args, graphs, pre, res_dir)
