@@ -116,6 +116,12 @@ class OgbGNNConfig:
     rni: bool = False
     # feed raw batch.x as h0 (ogbg-ppa-style, `ogb_mol_gnn.py:705-708`)
     skip_node_encoder: bool = False
+    # random-walk return-probability features: number of walk steps
+    # (0 = off). The reference projects extras['rp'] into the node-level
+    # initial state (`ogb_mol_gnn.py:449-450,531-535` — there via
+    # z_emb += rp_proj then h0 += z_emb; here z_emb is edge-level, so
+    # the projection adds to h0 directly, the same node-level sum)
+    use_rp: int = 0
 
 
 class GNNNodeEfficient(nn.Module):
@@ -140,6 +146,12 @@ class GNNNodeEfficient(nn.Module):
         else:
             h = FeatureSumEncoder(ATOM_FEATURE_DIMS, d, name="node_encoder")(
                 batch.x.astype(jnp.int32)
+            )
+        if cfg.use_rp:
+            rp = (batch.extras or {}).get("rp")
+            assert rp is not None, "use_rp set but batch carries no 'rp'"
+            h = h + TorchDense(d, name="rp_projection")(
+                rp.astype(jnp.float32)[:, : cfg.use_rp]
             )
         if cfg.rni and not deterministic:
             h = h + jax.random.uniform(

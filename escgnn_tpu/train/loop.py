@@ -125,6 +125,28 @@ def make_accuracy_step(model):
     return acc_step
 
 
+def make_pergraph_correct_step(model):
+    """Jitted per-graph correctness: (correct bool (G,), graph_mask).
+
+    Building block of the majority-vote eval hook (reference
+    `run_exp.py:255-265`: per-graph success counts accumulated over
+    `nb_trials` forward passes, correct when > nb_trials // 2)."""
+
+    @jax.jit
+    def step(params, batch_stats, batch: GraphBatch):
+        out = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch,
+            deterministic=True,
+            use_running_average=True,
+        )
+        pred = jnp.argmax(out, axis=-1)
+        correct = pred == batch.y.reshape(-1).astype(jnp.int32)
+        return correct, batch.graph_mask
+
+    return step
+
+
 def make_train_step(
     model,
     loss_fn: Callable[[jax.Array, GraphBatch], jax.Array],

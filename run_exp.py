@@ -45,6 +45,25 @@ def accuracy(acc_step, state, graphs, spec):
     return ok / max(tot, 1.0)
 
 
+def accuracy_vote(vote_step, state, graphs, spec, nb_trials):
+    """Majority-vote eval (reference `run_exp.py:255-265`): per-graph
+    success counts over nb_trials forward passes, correct when
+    > nb_trials // 2. Single trial (the reference default) reduces to
+    plain accuracy."""
+    ok = tot = 0.0
+    for b in batch_iterator(graphs, spec):
+        b = jax.tree.map(jnp.asarray, b)
+        succ = None
+        for _ in range(nb_trials):
+            correct, mask = vote_step(state.params, state.batch_stats, b)
+            c = np.asarray(correct, np.int32)
+            succ = c if succ is None else succ + c
+        voted = (succ > nb_trials // 2) & np.asarray(mask)
+        ok += float(voted.sum())
+        tot += float(np.asarray(mask).sum())
+    return ok / max(tot, 1.0)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--dataset", default="EXP", choices=["EXP", "CEXP"])
@@ -57,6 +76,10 @@ def main():
     p.add_argument("--splits", type=int, default=4)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--max_graphs", type=int, default=None)
+    p.add_argument("--nb_trials", type=int, default=1,
+                   help="majority-vote eval trials (reference "
+                        "run_exp.py:257 'Support majority vote, but "
+                        "single trial is default')")
     args = p.parse_args()
 
     raw = load_planar_sat(args.dataset)
@@ -106,6 +129,17 @@ def main():
         )
         train_step = make_train_step(model, ce_graph_loss)
         acc_step = make_accuracy_step(model)
+        if args.nb_trials > 1:
+            from escgnn_tpu.train.loop import make_pergraph_correct_step
+
+            vote_step = make_pergraph_correct_step(model)
+
+            def acc_fn(graphs):
+                return accuracy_vote(vote_step, state, graphs, spec,
+                                     args.nb_trials)
+        else:
+            def acc_fn(graphs):
+                return accuracy(acc_step, state, graphs, spec)
         drng = np.random.default_rng(args.seed + si)
         from escgnn_tpu.data.prefetch import materialized_batches
 
@@ -114,11 +148,7 @@ def main():
             for i in drng.permutation(len(train_batches)):
                 rng, sub = jax.random.split(rng)
                 state, _ = train_step(state, train_batches[int(i)], sub)
-        accs = (
-            accuracy(acc_step, state, test, spec),
-            accuracy(acc_step, state, expr, spec),
-            accuracy(acc_step, state, learn, spec),
-        )
+        accs = (acc_fn(test), acc_fn(expr), acc_fn(learn))
         results.append(accs)
         print(f"split {si}: test {accs[0]:.3f} expressivity {accs[1]:.3f} "
               f"learning {accs[2]:.3f}")

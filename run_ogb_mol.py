@@ -60,6 +60,10 @@ def main():
                         "rides in (reference GNN subpool)")
     p.add_argument("--rni", action="store_true",
                    help="random node initialization (h0 += U(-1,1))")
+    p.add_argument("--use_rp", type=int, default=None,
+                   help="N-step random-walk return probabilities as "
+                        "extra node features (reference run_ogb_mol.py"
+                        ":233,344-349 return_prob pre-transform)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--num_graphs", type=int, default=1000)
     p.add_argument("--num_workers", type=int, default=2)
@@ -92,14 +96,22 @@ def main():
         "val": raw[n_tr:n_tr + n_val],
         "test": raw[n_tr + n_val:],
     }
+    rp_key = f"_rp{args.use_rp}" if args.use_rp else ""
+
+    def featurize_split(graphs):
+        if args.use_rp:
+            from escgnn_tpu.featurize.rw import attach_return_prob
+
+            graphs = [attach_return_prob(g, args.use_rp) for g in graphs]
+        return featurize_many(graphs, ecfg, num_workers=args.num_workers)
+
     splits = {}
     for name, graphs in raw_splits.items():
         splits[name] = cached_featurize(
             os.path.join(args.data_dir, args.dataset.replace("-", "_")),
-            f"{name}_n{args.num_graphs}_s{args.seed}_{ecfg.cache_key()}",
-            lambda graphs=graphs: featurize_many(
-                graphs, ecfg, num_workers=args.num_workers
-            ),
+            f"{name}_n{args.num_graphs}_s{args.seed}"
+            f"_{ecfg.cache_key()}{rp_key}",
+            lambda graphs=graphs: featurize_split(graphs),
         )
 
     all_graphs = [g for s in splits.values() for g in s]
@@ -116,6 +128,7 @@ def main():
             graph_pooling=args.graph_pooling,
             subgraph_pooling=args.subgraph_pooling,
             rni=args.rni,
+            use_rp=args.use_rp or 0,
         )
     )
     rng = jax.random.key(args.seed)

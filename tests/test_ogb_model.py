@@ -167,3 +167,34 @@ def test_ogb_center_pool_virtual(ogb_batch):
     out = model.apply(variables, b)
     assert out.shape == (b.num_graphs, 1)
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_ogb_use_rp():
+    """use_rp projects extras['rp'] into h0 (reference
+    ogb_mol_gnn.py:449-450,531-535); the rp signal must reach the
+    output, and zero rp must be a no-op wrt the rp-free graph."""
+    from escgnn_tpu.featurize.rw import attach_return_prob
+
+    raw = synthetic_ogb_mol(num_graphs=3, seed=1, num_tasks=1)
+    ecfg = EscConfig(h=2, use_rd=True, self_loop=True)
+    raw = [attach_return_prob(g, steps=8) for g in raw]
+    feats = featurize_many(raw, ecfg)
+    assert all("rp" in (g.extras or {}) for g in feats)  # survives featurize
+    spec = BatchSpec.from_graphs(feats, batch_size=3)
+    batch = jax.tree.map(jnp.asarray, pad_and_batch(feats, spec))
+    assert batch.extras["rp"].shape == (batch.num_nodes, 8)
+
+    cfg = OgbGNNConfig(num_tasks=1, num_layers=1, emb_dim=8, dropout=0.0,
+                       virtual_node=False, use_rp=8)
+    model = OgbGNN(cfg)
+    variables = model.init(jax.random.key(0), batch)
+    out = model.apply(variables, batch)
+    assert out.shape == (batch.num_graphs, 1)
+    assert "rp_projection" in variables["params"]["gnn_node"]
+
+    # perturbing rp changes the output (the feature is actually consumed)
+    batch2 = batch.replace(
+        extras={**batch.extras, "rp": batch.extras["rp"] + 1.0}
+    )
+    out2 = model.apply(variables, batch2)
+    assert not np.allclose(np.asarray(out), np.asarray(out2))
