@@ -396,6 +396,9 @@ def main():
         cfg.out_dir, time.strftime("%Y%m%d%H%M%S")
     )
     dump_cfg(cfg, out_dir)
+    from escgnn_tpu.utils.rundir import backup_run
+
+    backup_run(out_dir)
 
     results = []
     for run in range(cfg.num_runs):

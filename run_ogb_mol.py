@@ -85,6 +85,9 @@ def main():
     os.makedirs(res_dir, exist_ok=True)
     with open(os.path.join(res_dir, "config.json"), "w") as f:
         json.dump(vars(args), f, indent=2)
+    from escgnn_tpu.utils.rundir import backup_run
+
+    backup_run(res_dir)
 
     ecfg = EscConfig(h=args.h, use_rd=True, self_loop=True)
     raw = synthetic_ogb_mol(

@@ -84,6 +84,9 @@ def main():
     os.makedirs(res_dir, exist_ok=True)
     with open(os.path.join(res_dir, "config.json"), "w") as f:
         json.dump(vars(args), f, indent=2)
+    from escgnn_tpu.utils.rundir import backup_run
+
+    backup_run(res_dir)
 
     t0 = time.time()
     raw_splits, is_real = zinc_splits(

@@ -48,6 +48,9 @@ def main():
     os.makedirs(res_dir, exist_ok=True)
     with open(os.path.join(res_dir, "config.json"), "w") as f:
         json.dump(vars(args), f, indent=2)
+    from escgnn_tpu.utils.rundir import backup_run
+
+    backup_run(res_dir)
 
     from escgnn_tpu.data.counting import count_cycles_per_node
     from escgnn_tpu.data.molecules import synthetic_zinc
