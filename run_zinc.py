@@ -58,10 +58,12 @@ def main():
     p.add_argument("--lr", type=float, default=5e-4)
     p.add_argument("--lr_decay_factor", type=float, default=0.5)
     p.add_argument("--model", default="NestedGIN_eff",
-                   choices=["NestedGIN_eff", "NGNN", "I2GNN"],
+                   choices=["NestedGIN_eff", "NGNN", "I2GNN", "GNN"],
                    help="reference run_zinc.py model dispatch "
                         "(eval(args.model) at :257); NGNN/I2GNN use the "
-                        "copy-based transforms instead of the ESC encoding")
+                        "copy-based transforms instead of the ESC encoding; "
+                        "GNN is the plain RGCN baseline "
+                        "(zinc_models.py:42-113)")
     p.add_argument("--patience", type=int, default=20)
     p.add_argument("--epochs", type=int, default=100)
     p.add_argument("--seed", type=int, default=0)
@@ -156,7 +158,14 @@ def main():
         spec = BatchSpec.from_graphs(all_graphs, batch_size=args.batch_size)
     print("spec:", spec)
 
-    if args.model == "NGNN":
+    if args.model == "GNN":
+        from escgnn_tpu.models.baselines import (
+            RGCNBaseline,
+            RGCNBaselineConfig,
+        )
+
+        model = RGCNBaseline(RGCNBaselineConfig(num_layers=args.layers))
+    elif args.model == "NGNN":
         from escgnn_tpu.models.ngnn import NGNN, NGNNConfig
 
         model = NGNN(NGNNConfig(
