@@ -88,11 +88,13 @@ DEFAULTS = {
     "run_multiple_splits": [],
     "dataset": {
         # zinc | zinc-synthetic | count_cycle | count_graphlet |
-        # qm9-synthetic (run_gps.build_dataset — the master_loader zoo)
+        # qm9-synthetic | mnist | cifar10 (superpixels) |
+        # peptides-func | peptides-struct (LRGB)
+        # (run_gps.build_dataset — the master_loader zoo)
         "name": "zinc-synthetic",
         "dir": "data",
         "num_graphs": 512,  # synthetic fallback size
-        "task": "regression",  # regression | classification
+        "task": "regression",  # regression | classification | multilabel
         "target": 0,  # y column for counting / qm9
         "node_encoder": "embed",
         "edge_encoder": "embed",

@@ -107,6 +107,38 @@ def ce_graph_loss(out: jax.Array, batch: GraphBatch) -> jax.Array:
     return jnp.sum(nll * m) / jnp.maximum(jnp.sum(m), 1.0)
 
 
+def bce_graph_loss(out: jax.Array, batch: GraphBatch) -> jax.Array:
+    """Masked sigmoid BCE over real graphs (multilabel classification —
+    the peptides-func / ogbg-mol task shape)."""
+    y = batch.y.astype(out.dtype)
+    per = jnp.maximum(out, 0.0) - out * y + jnp.log1p(jnp.exp(-jnp.abs(out)))
+    m = batch.graph_mask.astype(per.dtype)[:, None]
+    return jnp.sum(per * m) / jnp.maximum(jnp.sum(m) * per.shape[-1], 1.0)
+
+
+def make_pool_logits_step(model):
+    """Graph-level logits over a STACKED batch pool in one dispatch:
+    returns (logits (B, G, C), y (B, G, T), graph_mask (B, G)) so
+    classification metrics (accuracy / AP / AUC) are computed on host
+    from one tunnel round trip."""
+
+    @jax.jit
+    def logits_pool(params, batch_stats, stacked: GraphBatch):
+        def body(_, batch):
+            out = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                batch,
+                deterministic=True,
+                use_running_average=True,
+            )
+            return None, (out, batch.y, batch.graph_mask)
+
+        _, (outs, ys, masks) = jax.lax.scan(body, None, stacked)
+        return outs, ys, masks
+
+    return logits_pool
+
+
 def make_accuracy_step(model):
     """Jitted classification eval: (num_correct, num_real)."""
 

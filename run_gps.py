@@ -50,12 +50,15 @@ from escgnn_tpu.train.loop import (
     PlateauScheduler,
     TrainState,
     adam_with_plateau,
+    bce_graph_loss,
+    ce_graph_loss,
     get_learning_rate,
     l1_graph_loss,
     l1_node_loss,
     make_eval_step,
     set_learning_rate,
     make_pool_eval_step,
+    make_pool_logits_step,
     make_pool_refresh_step,
     make_pool_train_step,
 )
@@ -105,6 +108,21 @@ def build_dataset(cfg, seed: int):
         raw_splits = _even_splits(
             synthetic_qm9(num_graphs=d.num_graphs, seed=seed)
         )
+    elif d.name in ("mnist", "cifar10"):
+        from escgnn_tpu.data.superpixels import superpixel_splits
+
+        raw_splits, is_real = superpixel_splits(
+            d.dir, d.name, num_graphs=d.num_graphs, seed=seed
+        )
+        print(f"{d.name}: real={is_real}")
+    elif d.name in ("peptides-func", "peptides-struct"):
+        from escgnn_tpu.data.peptides import peptide_splits
+
+        raw_splits, is_real = peptide_splits(
+            d.dir, d.name.split("-")[1],
+            num_graphs=d.num_graphs, seed=seed,
+        )
+        print(f"{d.name}: real={is_real}")
     else:
         raise ValueError(f"unknown dataset {d.name!r}")
     splits = {}
@@ -139,6 +157,9 @@ def build_dataset(cfg, seed: int):
 
         splits, mean, std = normalize_targets(splits, d.target)
         return splits, mean, std
+    if d.task in ("classification", "multilabel"):
+        # class labels / binary labels are never standardized
+        return splits, 0.0, 1.0
     if d.name == "qm9-synthetic":
         width = len(splits["train"][0].y)
         if not 0 <= d.target < width:
@@ -149,7 +170,21 @@ def build_dataset(cfg, seed: int):
         for s in splits.values():
             for g in s:
                 g.y = g.y[d.target:d.target + 1]
-    ys = np.concatenate([g.y for s in ("train", "val") for g in splits[s]])
+    ys = np.stack(
+        [np.asarray(g.y).reshape(-1)
+         for s in ("train", "val") for g in splits[s]]
+    )
+    if ys.shape[1] > 1:
+        # multi-target regression (peptides-struct): per-column
+        # standardization; the reported scale is the mean column std
+        # (normalized MAE x it = the LRGB-style averaged MAE)
+        mu, sd = ys.mean(axis=0), ys.std(axis=0, ddof=1).clip(1e-8)
+        for s in splits.values():
+            for g in s:
+                g.y = ((np.asarray(g.y).reshape(-1) - mu) / sd).astype(
+                    np.float32
+                )
+        return splits, float(mu.mean()), float(sd.mean())
     mean, std = float(ys.mean()), float(ys.std(ddof=1))
     for s in splits.values():
         for g in s:
@@ -251,17 +286,45 @@ def run_one(cfg, seed: int, out_dir: str) -> dict:
         splits["train"][: 8 * cfg.train.batch_size], spec
     )
     node_level = not cfg.model.graph_pred
-    pool_train_step = make_pool_train_step(
-        model, l1_node_loss if node_level else l1_graph_loss
-    )
+    task = cfg.dataset.task
+    if task == "classification":
+        loss_fn = ce_graph_loss
+    elif task == "multilabel":
+        loss_fn = bce_graph_loss
+    else:
+        loss_fn = l1_node_loss if node_level else l1_graph_loss
+    pool_train_step = make_pool_train_step(model, loss_fn)
     eval_pool = make_pool_eval_step(model, node_level=node_level)
+    logits_pool = make_pool_logits_step(model)
     refresh_pool = make_pool_refresh_step(model)
+    # classification: accuracy; multilabel: macro AP (the LRGB
+    # peptides-func metric) — both higher-is-better
+    higher_better = task in ("classification", "multilabel")
+    metric_name = {
+        "classification": "acc", "multilabel": "AP"
+    }.get(task, "MAE")
 
     def evaluate_stack(stacked):
-        e, c = eval_pool(state.params, state.batch_stats, stacked)
-        return float(e) / max(float(c), 1.0)
+        if task == "regression":
+            e, c = eval_pool(state.params, state.batch_stats, stacked)
+            return float(e) / max(float(c), 1.0)
+        outs, ys, masks = jax.tree.map(
+            np.asarray,
+            logits_pool(state.params, state.batch_stats, stacked),
+        )
+        m = masks.reshape(-1).astype(bool)
+        out = outs.reshape(-1, outs.shape[-1])[m]
+        y = ys.reshape(-1, ys.shape[-1])[m]
+        if task == "classification":
+            return float((out.argmax(-1) == y.reshape(-1)).mean())
+        from escgnn_tpu.train.metrics import average_precision
 
-    best_val, best_test, best_epoch = float("inf"), float("inf"), -1
+        ap = average_precision(y, out)  # macro AP over label columns
+        return 0.0 if np.isnan(ap) else ap
+
+    sign = -1.0 if higher_better else 1.0
+    best_val = float("inf")
+    best_test, best_epoch = float("nan"), -1
     t0 = time.time()
     for epoch in range(start_epoch, cfg.train.epochs + 1):
         order = jnp.asarray(
@@ -280,24 +343,27 @@ def run_one(cfg, seed: int, out_dir: str) -> dict:
             )
             val = evaluate_stack(val_stack)
             test = evaluate_stack(test_stack)
-            if val < best_val:
-                best_val, best_test, best_epoch = val, test, epoch
+            if sign * val < best_val:
+                best_val = sign * val
+                best_test, best_epoch = test, epoch
                 if cfg.train.ckpt_best:
                     ckpt.save(int(state.step), state, force=True)
             if cfg.optim.scheduler == "plateau":
-                lr = sched.step(val, get_learning_rate(state))
+                lr = sched.step(sign * val, get_learning_rate(state))
                 state = set_learning_rate(state, lr)
             print(
                 f"[seed {seed}] epoch {epoch:03d} lr "
                 f"{get_learning_rate(state):.6f} loss "
                 f"{float(np.mean([float(l) for l in losses])):.5f} "
-                f"val MAE {val * std:.5f} test MAE {test * std:.5f}"
+                f"val {metric_name} {val * std:.5f} "
+                f"test {metric_name} {test * std:.5f}"
             )
         if epoch % cfg.train.ckpt_period == 0:
             ckpt.save(int(state.step), state)
+    key = metric_name.lower()
     return {
-        "best_val_mae": best_val * std,
-        "best_test_mae": best_test * std,
+        f"best_val_{key}": sign * best_val * std,
+        f"best_test_{key}": best_test * std,
         "best_epoch": best_epoch,
         "train_time_s": time.time() - t0,
     }
@@ -319,11 +385,27 @@ def run_eval_only(cfg, ckpt_dir: str):
     )
     ckpt = CheckpointManager(ckpt_dir)
     state = restore_train_state(ckpt, state)
+    task = cfg.dataset.task
     eval_step = make_eval_step(
         model, node_level=not cfg.model.graph_pred
     )
+    logits_pool = make_pool_logits_step(model)
 
     def evaluate(graphs):
+        if task != "regression":
+            from escgnn_tpu.data.prefetch import stack_split
+            from escgnn_tpu.train.metrics import average_precision
+
+            outs, ys, masks = jax.tree.map(np.asarray, logits_pool(
+                state.params, state.batch_stats, stack_split(graphs, spec)
+            ))
+            m = masks.reshape(-1).astype(bool)
+            out = outs.reshape(-1, outs.shape[-1])[m]
+            y = ys.reshape(-1, ys.shape[-1])[m]
+            if task == "classification":
+                return float((out.argmax(-1) == y.reshape(-1)).mean())
+            ap = average_precision(y, out)  # macro AP over columns
+            return 0.0 if np.isnan(ap) else ap
         tot = cnt = 0.0
         for b in batch_iterator(graphs, spec):
             b = jax.tree.map(jnp.asarray, b)
@@ -332,9 +414,10 @@ def run_eval_only(cfg, ckpt_dir: str):
             cnt += float(c)
         return tot / max(cnt, 1.0)
 
+    key = {"classification": "acc", "multilabel": "ap"}.get(task, "mae")
     print(json.dumps({
-        "val_mae": evaluate(splits["val"]) * std,
-        "test_mae": evaluate(splits["test"]) * std,
+        f"val_{key}": evaluate(splits["val"]) * std,
+        f"test_{key}": evaluate(splits["test"]) * std,
         "ckpt_step": int(state.step),
     }))
 

@@ -1,0 +1,122 @@
+"""GPS dataset-zoo breadth: superpixels (classification) and peptides
+(multilabel / multi-target regression) — the GNNBenchmark and LRGB rows
+of the reference's `GraphGPS/graphgps/loader/master_loader.py` zoo —
+plus the task-aware loss/metric plumbing in run_gps."""
+
+import numpy as np
+import pytest
+
+from escgnn_tpu.config import load_cfg
+from escgnn_tpu.data.peptides import (
+    NUM_FUNC_TASKS,
+    NUM_STRUCT_TASKS,
+    synthetic_peptides,
+)
+from escgnn_tpu.data.superpixels import synthetic_superpixels
+
+
+def test_superpixels_shapes_and_determinism():
+    a = synthetic_superpixels("MNIST", num_graphs=20, seed=3)
+    b = synthetic_superpixels("MNIST", num_graphs=20, seed=3)
+    assert len(a) == 20
+    for g, g2 in zip(a, b):
+        assert g.x.shape == (g.num_nodes, 3)  # intensity + 2-D centroid
+        assert g.edge_attr.shape == (g.num_edges, 1)
+        assert 0 <= int(g.y[0]) < 10
+        np.testing.assert_array_equal(g.x, g2.x)
+        np.testing.assert_array_equal(g.edge_index, g2.edge_index)
+    # labels cycle through all 10 classes
+    assert len({int(g.y[0]) for g in a}) == 10
+    # symmetric kNN edges
+    g = a[0]
+    fwd = set(map(tuple, g.edge_index.T))
+    assert all((b_, a_) in fwd for a_, b_ in fwd)
+    c = synthetic_superpixels("CIFAR10", num_graphs=4, seed=0)
+    assert c[0].x.shape == (c[0].num_nodes, 5)  # rgb + centroid
+
+
+def test_peptides_long_range_and_labels():
+    func = synthetic_peptides("func", num_graphs=30, seed=1)
+    for g in func:
+        assert g.y.shape == (NUM_FUNC_TASKS,)
+        assert set(np.unique(g.y)) <= {0.0, 1.0}
+        assert g.x.shape == (g.num_nodes, 1)
+        assert g.edge_attr.shape == (g.num_edges, 1)
+    struct = synthetic_peptides("struct", num_graphs=30, seed=1)
+    diam = [g.y[3] for g in struct]  # y[3] = BFS eccentricity of node 0
+    assert np.mean(diam) > 10  # the long-range regime LRGB targets
+    assert all(g.y.shape == (NUM_STRUCT_TASKS,) for g in struct)
+
+
+def _tiny_cfg(tmp_path, name, task, out_dim, node_enc, edge_enc,
+              epochs="2"):
+    return load_cfg(None, [
+        "dataset.name", name,
+        "dataset.task", task,
+        "dataset.num_graphs", "20",
+        "dataset.dir", str(tmp_path),
+        "dataset.node_encoder", node_enc,
+        "dataset.edge_encoder", edge_enc,
+        "dataset.esc.h", "2",
+        "model.dim_h", "16",
+        "model.num_layers", "1",
+        "model.num_heads", "2",
+        "model.pool", "mean",
+        "model.out_dim", str(out_dim),
+        "train.batch_size", "4",
+        "train.epochs", epochs,
+        "train.ckpt_period", "100",
+        "out_dir", str(tmp_path / "out"),
+    ])
+
+
+def test_gps_classification_end_to_end(tmp_path):
+    import run_gps
+
+    cfg = _tiny_cfg(tmp_path, "mnist", "classification", 10,
+                    "linear", "linear")
+    res = run_gps.run_one(cfg, seed=0, out_dir=str(tmp_path / "out"))
+    assert 0.0 <= res["best_val_acc"] <= 1.0
+    assert 0.0 <= res["best_test_acc"] <= 1.0
+
+
+def test_gps_multilabel_end_to_end(tmp_path):
+    import run_gps
+
+    cfg = _tiny_cfg(tmp_path, "peptides-func", "multilabel",
+                    NUM_FUNC_TASKS, "embed", "embed")
+    res = run_gps.run_one(cfg, seed=0, out_dir=str(tmp_path / "out"))
+    assert 0.0 <= res["best_val_ap"] <= 1.0
+    assert 0.0 <= res["best_test_ap"] <= 1.0
+
+
+def test_peptides_struct_per_column_standardization(tmp_path):
+    import run_gps
+
+    cfg = _tiny_cfg(tmp_path, "peptides-struct", "regression",
+                    NUM_STRUCT_TASKS, "embed", "embed")
+    splits, mean, std = run_gps.build_dataset(cfg, seed=0)
+    assert std > 0
+    ys = np.stack([g.y for s in ("train", "val") for g in splits[s]])
+    assert ys.shape[1] == NUM_STRUCT_TASKS
+    np.testing.assert_allclose(ys.mean(axis=0), 0.0, atol=1e-5)
+    np.testing.assert_allclose(ys.std(axis=0, ddof=1), 1.0, atol=1e-4)
+
+
+def test_bce_graph_loss_masks_padding():
+    import jax.numpy as jnp
+
+    from escgnn_tpu.data.batching import BatchSpec, pad_and_batch
+    from escgnn_tpu.train.loop import bce_graph_loss
+
+    graphs = synthetic_peptides("func", num_graphs=3, seed=0)
+    spec = BatchSpec.from_graphs(graphs, batch_size=4)  # 1 padding graph
+    b = pad_and_batch(graphs, spec)
+    b = b.replace(y=jnp.asarray(b.y))
+    logits_real = jnp.zeros((b.y.shape[0], NUM_FUNC_TASKS))
+    # garbage on the padded graph slot must not change the loss
+    logits_junk = logits_real.at[-1].set(1e3)
+    l1 = bce_graph_loss(logits_real, b)
+    l2 = bce_graph_loss(logits_junk, b)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    np.testing.assert_allclose(float(l1), np.log(2.0), rtol=1e-5)
