@@ -89,7 +89,8 @@ DEFAULTS = {
     "dataset": {
         # zinc | zinc-synthetic | count_cycle | count_graphlet |
         # qm9-synthetic | mnist | cifar10 (superpixels) |
-        # peptides-func | peptides-struct (LRGB)
+        # peptides-func | peptides-struct (LRGB) |
+        # ogbg-molhiv | ogbg-molpcba | malnet-tiny
         # (run_gps.build_dataset — the master_loader zoo)
         "name": "zinc-synthetic",
         "dir": "data",
@@ -150,7 +151,7 @@ DEFAULTS = {
         "patience": 10,
         "min_lr": 1e-5,
     },
-    "metric": "mae",  # mae | accuracy
+    "metric": "mae",  # mae | accuracy | ap | auc (auc: multilabel ROC-AUC)
     "num_runs": 1,  # multi-seed aggregation (reference main.py:270)
 }
 

@@ -65,9 +65,10 @@ class GPSConfig:
     # input featurization (the master_loader dataset zoo spans int-vocab
     # molecules, float-feature counting graphs, and continuous QM9 bonds):
     # embed = int vocab (first column); linear = Dense on float features;
-    # none (edges only) = learned constant edge embedding
-    node_encoder_kind: str = "embed"  # embed | linear
-    edge_encoder_kind: str = "embed"  # embed | linear | none
+    # none (edges only) = learned constant edge embedding;
+    # ogb_atom/ogb_bond = per-column embedding sums over the OGB vocabs
+    node_encoder_kind: str = "embed"  # embed | linear | ogb_atom
+    edge_encoder_kind: str = "embed"  # embed | linear | none | ogb_bond
     # SAN global attention (global_model="san"): fake-edge weight gamma
     # and whether the complement term is used at all
     san_gamma: float = 1e-5
@@ -474,6 +475,18 @@ class GPSModel(nn.Module):
             h = TorchDense(D, name="node_encoder")(
                 batch.x.astype(jnp.float32)
             )
+        elif cfg.node_encoder_kind == "ogb_atom":
+            # OGB 9-column categorical atom features: sum of per-column
+            # embeddings (the AtomEncoder the reference injects for OGB
+            # GPS runs, master_loader.py:380-397)
+            from escgnn_tpu.models.ogb_gnn import (
+                ATOM_FEATURE_DIMS,
+                FeatureSumEncoder,
+            )
+
+            h = FeatureSumEncoder(
+                ATOM_FEATURE_DIMS, D, name="node_encoder"
+            )(batch.x)
         else:
             h = nn.Embed(
                 cfg.node_vocab, D, embedding_init=nn.initializers.normal(1.0),
@@ -520,6 +533,15 @@ class GPSModel(nn.Module):
             edge_attr = TorchDense(D, name="edge_encoder")(
                 batch.edge_attr.astype(jnp.float32)
             )
+        elif cfg.edge_encoder_kind == "ogb_bond":
+            from escgnn_tpu.models.ogb_gnn import (
+                BOND_FEATURE_DIMS,
+                FeatureSumEncoder,
+            )
+
+            edge_attr = FeatureSumEncoder(
+                BOND_FEATURE_DIMS, D, name="edge_encoder"
+            )(batch.edge_attr)
         else:
             edge_attr = nn.Embed(
                 cfg.edge_vocab, D, embedding_init=nn.initializers.normal(1.0),

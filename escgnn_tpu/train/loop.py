@@ -109,11 +109,15 @@ def ce_graph_loss(out: jax.Array, batch: GraphBatch) -> jax.Array:
 
 def bce_graph_loss(out: jax.Array, batch: GraphBatch) -> jax.Array:
     """Masked sigmoid BCE over real graphs (multilabel classification —
-    the peptides-func / ogbg-mol task shape)."""
+    the peptides-func / ogbg-mol task shape). NaN label entries are
+    unlabeled tasks and drop out of the mean (reference
+    `run_ogb_mol.py:65-72`)."""
     y = batch.y.astype(out.dtype)
+    labeled = ~jnp.isnan(y)
+    y = jnp.where(labeled, y, 0.0)
     per = jnp.maximum(out, 0.0) - out * y + jnp.log1p(jnp.exp(-jnp.abs(out)))
-    m = batch.graph_mask.astype(per.dtype)[:, None]
-    return jnp.sum(per * m) / jnp.maximum(jnp.sum(m) * per.shape[-1], 1.0)
+    m = labeled.astype(per.dtype) * batch.graph_mask.astype(per.dtype)[:, None]
+    return jnp.sum(per * m) / jnp.maximum(jnp.sum(m), 1.0)
 
 
 def make_pool_logits_step(model):

@@ -115,6 +115,25 @@ def build_dataset(cfg, seed: int):
             d.dir, d.name, num_graphs=d.num_graphs, seed=seed
         )
         print(f"{d.name}: real={is_real}")
+    elif d.name in ("ogbg-molhiv", "ogbg-molpcba"):
+        # the reference wires the ESC pre-transform into OGB GPS runs at
+        # master_loader.py:380-397 (hop=4 for molhiv); graphs here come
+        # from the OGB-shaped generator (9-col atom / 3-col bond
+        # categorical features; molpcba-style NaN label holes)
+        from escgnn_tpu.data.molecules import synthetic_ogb_mol
+
+        raw_splits = _even_splits(synthetic_ogb_mol(
+            num_graphs=d.num_graphs, seed=seed,
+            num_tasks=cfg.model.out_dim,
+            nan_frac=0.25 if d.name == "ogbg-molpcba" else 0.0,
+        ))
+    elif d.name == "malnet-tiny":
+        from escgnn_tpu.data.malnet import malnet_splits
+
+        raw_splits, is_real = malnet_splits(
+            d.dir, num_graphs=d.num_graphs, seed=seed
+        )
+        print(f"malnet-tiny: real={is_real}")
     elif d.name in ("peptides-func", "peptides-struct"):
         from escgnn_tpu.data.peptides import peptide_splits
 
@@ -298,10 +317,13 @@ def run_one(cfg, seed: int, out_dir: str) -> dict:
     logits_pool = make_pool_logits_step(model)
     refresh_pool = make_pool_refresh_step(model)
     # classification: accuracy; multilabel: macro AP (the LRGB
-    # peptides-func metric) — both higher-is-better
+    # peptides-func / molpcba metric) or ROC-AUC when cfg.metric == auc
+    # (molhiv) — all higher-is-better
     higher_better = task in ("classification", "multilabel")
+    use_auc = task == "multilabel" and cfg.metric == "auc"
     metric_name = {
-        "classification": "acc", "multilabel": "AP"
+        "classification": "acc",
+        "multilabel": "AUC" if use_auc else "AP",
     }.get(task, "MAE")
 
     def evaluate_stack(stacked):
@@ -317,10 +339,10 @@ def run_one(cfg, seed: int, out_dir: str) -> dict:
         y = ys.reshape(-1, ys.shape[-1])[m]
         if task == "classification":
             return float((out.argmax(-1) == y.reshape(-1)).mean())
-        from escgnn_tpu.train.metrics import average_precision
+        from escgnn_tpu.train.metrics import average_precision, rocauc
 
-        ap = average_precision(y, out)  # macro AP over label columns
-        return 0.0 if np.isnan(ap) else ap
+        v = (rocauc if use_auc else average_precision)(y, out)
+        return 0.0 if np.isnan(v) else v
 
     sign = -1.0 if higher_better else 1.0
     best_val = float("inf")
@@ -391,10 +413,12 @@ def run_eval_only(cfg, ckpt_dir: str):
     )
     logits_pool = make_pool_logits_step(model)
 
+    use_auc = task == "multilabel" and cfg.metric == "auc"
+
     def evaluate(graphs):
         if task != "regression":
             from escgnn_tpu.data.prefetch import stack_split
-            from escgnn_tpu.train.metrics import average_precision
+            from escgnn_tpu.train.metrics import average_precision, rocauc
 
             outs, ys, masks = jax.tree.map(np.asarray, logits_pool(
                 state.params, state.batch_stats, stack_split(graphs, spec)
@@ -404,8 +428,8 @@ def run_eval_only(cfg, ckpt_dir: str):
             y = ys.reshape(-1, ys.shape[-1])[m]
             if task == "classification":
                 return float((out.argmax(-1) == y.reshape(-1)).mean())
-            ap = average_precision(y, out)  # macro AP over columns
-            return 0.0 if np.isnan(ap) else ap
+            v = (rocauc if use_auc else average_precision)(y, out)
+            return 0.0 if np.isnan(v) else v
         tot = cnt = 0.0
         for b in batch_iterator(graphs, spec):
             b = jax.tree.map(jnp.asarray, b)
@@ -414,7 +438,10 @@ def run_eval_only(cfg, ckpt_dir: str):
             cnt += float(c)
         return tot / max(cnt, 1.0)
 
-    key = {"classification": "acc", "multilabel": "ap"}.get(task, "mae")
+    key = {
+        "classification": "acc",
+        "multilabel": "auc" if use_auc else "ap",
+    }.get(task, "mae")
     print(json.dumps({
         f"val_{key}": evaluate(splits["val"]) * std,
         f"test_{key}": evaluate(splits["test"]) * std,

@@ -103,6 +103,86 @@ def test_peptides_struct_per_column_standardization(tmp_path):
     np.testing.assert_allclose(ys.std(axis=0, ddof=1), 1.0, atol=1e-4)
 
 
+def test_malnet_shapes_and_classes():
+    from escgnn_tpu.data.malnet import synthetic_malnet
+
+    graphs = synthetic_malnet(num_graphs=15, seed=2, min_nodes=30,
+                              max_nodes=50)
+    assert len({int(g.y[0]) for g in graphs}) == 5
+    for g in graphs:
+        assert g.x.shape == (g.num_nodes, 1)  # log-degree feature
+        assert g.edge_attr is None
+        assert g.edge_index.max() < g.num_nodes
+    # deterministic
+    again = synthetic_malnet(num_graphs=15, seed=2, min_nodes=30,
+                             max_nodes=50)
+    np.testing.assert_array_equal(graphs[3].edge_index,
+                                  again[3].edge_index)
+
+
+def test_gps_malnet_forward(tmp_path):
+    # the malnet zoo entry: featureless call graphs, linear encoder on
+    # log-degree, no edge features, 5-class head
+    import jax
+    import jax.numpy as jnp
+    import run_gps
+    from escgnn_tpu.data.batching import BatchSpec, pad_and_batch
+    from escgnn_tpu.models.gps import GPSModel
+
+    cfg = _tiny_cfg(tmp_path, "malnet-tiny", "classification", 5,
+                    "linear", "none")
+    cfg.dataset.attn_bias = False
+    cfg.model.use_attn_bias = False
+    cfg.model.global_model = "linear"  # Performer, as malnet-GPS.yaml
+    cfg.dataset.esc.use_rd = False
+    splits, _, _ = run_gps.build_dataset(cfg, seed=0)
+    graphs = [g for s in splits.values() for g in s]
+    spec = BatchSpec.from_graphs(graphs, batch_size=4)
+    b = jax.tree.map(jnp.asarray, pad_and_batch(splits["train"][:4], spec))
+    model = GPSModel(run_gps._gps_config(cfg, splits))
+    out = model.apply(model.init(jax.random.key(0), b), b)
+    assert out.shape == (b.y.shape[0], 5)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_gps_ogb_molhiv_end_to_end(tmp_path):
+    # OGB row of the zoo: ogb_atom/ogb_bond per-column embedding sums +
+    # ROC-AUC metric (cfg.metric = auc), ESC hop from config
+    import run_gps
+
+    cfg = _tiny_cfg(tmp_path, "ogbg-molhiv", "multilabel", 1,
+                    "ogb_atom", "ogb_bond")
+    cfg.metric = "auc"
+    res = run_gps.run_one(cfg, seed=0, out_dir=str(tmp_path / "out"))
+    assert 0.0 <= res["best_val_auc"] <= 1.0
+    assert 0.0 <= res["best_test_auc"] <= 1.0
+
+
+def test_bce_graph_loss_nan_holes():
+    # molpcba-style unlabeled entries: NaN labels drop out of the loss
+    import jax.numpy as jnp
+
+    from escgnn_tpu.data.batching import BatchSpec, pad_and_batch
+    from escgnn_tpu.data.molecules import synthetic_ogb_mol
+    from escgnn_tpu.train.loop import bce_graph_loss
+
+    graphs = synthetic_ogb_mol(num_graphs=4, seed=0, num_tasks=6,
+                               nan_frac=0.5)
+    assert any(np.isnan(g.y).any() for g in graphs)
+    spec = BatchSpec.from_graphs(graphs, batch_size=4)
+    b = pad_and_batch(graphs, spec)
+    y = np.asarray(b.y)
+    b = b.replace(y=jnp.asarray(y))
+    logits = jnp.zeros((y.shape[0], 6))
+    # flipping logits at NaN-labeled entries must not change the loss
+    flip = jnp.asarray(np.where(np.isnan(y), 1e3, 0.0))
+    l1 = float(bce_graph_loss(logits, b))
+    l2 = float(bce_graph_loss(logits + flip, b))
+    np.testing.assert_allclose(l1, l2, rtol=1e-6)
+    np.testing.assert_allclose(l1, np.log(2.0), rtol=1e-5)
+    assert np.isfinite(l1)
+
+
 def test_bce_graph_loss_masks_padding():
     import jax.numpy as jnp
 
