@@ -235,6 +235,12 @@ class GINEConv(nn.Module):
     mlp: nn.Module
     edge_dim: Optional[int] = None  # project edge features to in_channels
     edge_shard_axis: Optional[str] = None
+    # receiver-range node+edge sharding (parallel/halo.py): x holds only
+    # this shard's node rows; remote sender rows arrive via one boundary
+    # all_gather per layer (`halo_ctx` = {boundary_send, halo_src}) and
+    # the per-node aggregation stays a LOCAL sorted segment-sum — no
+    # per-layer psum, contrast edge_shard_axis
+    halo_axis: Optional[str] = None
     # uniform per-graph layout (batch.nodes_per_graph): gather/scatter run
     # as per-graph one-hot einsums on the MXU (see _dense_local_aggregate
     # for when this wins; opt-in via BatchSpec.uniform)
@@ -252,12 +258,31 @@ class GINEConv(nn.Module):
         *,
         deterministic: bool,
         use_running_average: bool,
+        halo_ctx: Optional[dict] = None,
     ):
         in_ch = x.shape[-1]
         eps = self.param("eps", nn.initializers.zeros, ())
         if self.edge_dim is not None:
             edge_emb = TorchDense(in_ch, name="lin_edge")(edge_emb)
-        if self.uniform_nodes is not None and self.edge_shard_axis is None:
+        if self.halo_axis is not None:
+            from escgnn_tpu.parallel.halo import halo_exchange
+
+            halo = halo_exchange(
+                x, halo_ctx["boundary_send"], halo_ctx["halo_src"],
+                self.halo_axis,
+            )
+            msg = nn.relu(
+                jnp.take(jnp.concatenate([x, halo], axis=0), senders, axis=0)
+                + edge_emb
+            )
+            agg = segment_sum(
+                msg,
+                receivers,
+                num_segments=x.shape[0],
+                mask=edge_mask,
+                indices_are_sorted=True,
+            )
+        elif self.uniform_nodes is not None and self.edge_shard_axis is None:
             agg = _dense_local_aggregate(
                 x, senders, receivers, edge_emb, edge_mask,
                 self.uniform_nodes,

@@ -60,6 +60,13 @@ class NestedGINEffConfig:
     # edge-partitioned execution: edges sharded over this mesh axis, nodes
     # replicated; partial aggregations psum over ICI (see parallel/)
     edge_shard_axis: Optional[str] = None
+    # receiver-range node+edge sharding (parallel/halo.py): the batch
+    # holds only this shard's node rows and receiver-owned edges (built
+    # by `build_halo_batch`); sender halo rows arrive via one boundary
+    # all_gather per conv and EVERY BatchNorm psums its masked statistics
+    # over the axis so all shards normalize globally. Width enc layout
+    # required (per-edge rows shard exactly); node-level heads only.
+    halo_axis: Optional[str] = None
 
 
 def _act(name: str):
@@ -85,6 +92,19 @@ class NestedGINEff(nn.Module):
         H = cfg.hidden
         node_mask = batch.node_mask
         edge_mask = batch.edge_mask
+        # BN statistic axes: under halo sharding node rows are split, so
+        # node-row BNs must psum; under edge_shard_axis nodes are
+        # replicated (identical stats per shard) and only edge-row BNs
+        # (the z MLP) psum.
+        node_ax = cfg.halo_axis
+        edge_ax = cfg.halo_axis or cfg.edge_shard_axis
+        halo_ctx = None
+        if cfg.halo_axis is not None:
+            assert not cfg.graph_pred, "halo mode supports node-level heads"
+            halo_ctx = {
+                "boundary_send": batch.extras["halo_boundary_send"],
+                "halo_src": batch.extras["halo_src"],
+            }
 
         # --- node input features ---
         x = batch.x
@@ -112,9 +132,13 @@ class NestedGINEff(nn.Module):
         )
         z_mlp = MLP(
             features=(H,), dropout=cfg.dropout, act=act, pre_act=True,
-            axis_name=cfg.edge_shard_axis, name="z_embedding",
+            axis_name=edge_ax, name="z_embedding",
         )
-        u = zemb_unique_rows(z_table, batch) if cfg.dropout == 0.0 else None
+        u = (
+            zemb_unique_rows(z_table, batch)
+            if cfg.dropout == 0.0 and cfg.halo_axis is None
+            else None
+        )
         if u is not None and getattr(batch, "enc_row_weight", None) is not None:
             # dedup layout, no dropout: run the z MLP on the R unique rows
             # with multiplicity-weighted BN (bit-identical statistics to
@@ -148,10 +172,16 @@ class NestedGINEff(nn.Module):
         # --- GINE stack over the original graph ---
         def conv(name):
             return GINEConv(
-                mlp=MLP(features=(H, H), dropout=cfg.dropout, act=act),
+                mlp=MLP(
+                    features=(H, H), dropout=cfg.dropout, act=act,
+                    axis_name=node_ax,
+                ),
                 edge_dim=z_emb.shape[-1],
                 edge_shard_axis=cfg.edge_shard_axis,
-                uniform_nodes=batch.nodes_per_graph,
+                halo_axis=cfg.halo_axis,
+                uniform_nodes=(
+                    None if cfg.halo_axis else batch.nodes_per_graph
+                ),
                 name=name,
             )
 
@@ -159,7 +189,7 @@ class NestedGINEff(nn.Module):
         if cfg.use_x_embedding_jk:
             x0 = MLP(
                 features=(H, H), dropout=cfg.dropout, act=act,
-                name="x_embedding",
+                axis_name=node_ax, name="x_embedding",
             )(batch.x.astype(jnp.float32), node_mask, **kw)
             xs.append(x0)
 
@@ -170,6 +200,7 @@ class NestedGINEff(nn.Module):
             z_emb.astype(cdt),
             edge_mask,
             node_mask,
+            halo_ctx=halo_ctx,
             **kw,
         )
         xs.append(hcur)
@@ -181,6 +212,7 @@ class NestedGINEff(nn.Module):
                 z_emb.astype(cdt),
                 edge_mask,
                 node_mask,
+                halo_ctx=halo_ctx,
                 **kw,
             )
             xs.append(hcur)
@@ -201,7 +233,9 @@ class NestedGINEff(nn.Module):
         h = h.astype(jnp.float32)
 
         h = TorchDense(H, name="lin1")(h)
-        h = MaskedBatchNorm(name="bn_lin1")(h, head_mask, use_running_average)
+        h = MaskedBatchNorm(axis_name=node_ax, name="bn_lin1")(
+            h, head_mask, use_running_average
+        )
         if cfg.head_order == "act_dropout":
             h = act(h)
             h = nn.Dropout(cfg.dropout, deterministic=deterministic)(h)

@@ -79,3 +79,93 @@ def make_dp_train_step(
         check_vma=False,
     )
     return jax.jit(sharded, donate_argnums=(0,))
+
+
+def make_dp_pool_train_step(
+    model,
+    loss_fn: Callable,
+    mesh: Mesh,
+    axis: str = "data",
+):
+    """Whole-epoch data-parallel training in ONE dispatch: `lax.scan`
+    over an order matrix on a replicated device-resident batch pool.
+
+    The driver-facing dp path (reference role: DistributedSampler +
+    DDP, `kernel/train_eval.py:44-57`): each scan step consumes D pool
+    batches — device d runs batch `order[step, d]` — so the effective
+    batch is D x batch_size with mean-of-means gradient weighting.
+    Gradients, loss, and BatchNorm statistics are `lax.pmean`'d over ICI
+    and the replicated Adam update runs identically everywhere.
+
+    Returns train_epoch(state, stacked_pool, order, rng) -> (state,
+    losses (steps,)). `stacked_pool` is the [B, ...] stacked batch pool
+    (replicated — every device holds it, which is what device-resident
+    pools already do on one chip); `order` is (steps, D) int32 pool
+    indices.
+    """
+
+    def local_epoch(state: TrainState, stacked: GraphBatch, order, rng):
+        my = jax.lax.axis_index(axis)
+
+        def body(state, idxs):
+            batch = jax.tree.map(lambda a: a[idxs[my]], stacked)
+            step_rng = jax.random.fold_in(
+                jax.random.fold_in(rng, state.step), my
+            )
+
+            def compute(params):
+                out, mut = model.apply(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    batch,
+                    deterministic=False,
+                    use_running_average=False,
+                    mutable=["batch_stats"],
+                    rngs={"dropout": step_rng},
+                )
+                return loss_fn(out, batch), mut["batch_stats"]
+
+            (loss, new_stats), grads = jax.value_and_grad(
+                compute, has_aux=True
+            )(state.params)
+            grads = jax.lax.pmean(grads, axis)
+            loss = jax.lax.pmean(loss, axis)
+            new_stats = jax.lax.pmean(new_stats, axis)
+            updates, new_opt = state.tx.update(
+                grads, state.opt_state, state.params
+            )
+            return (
+                state.replace(
+                    step=state.step + 1,
+                    params=optax.apply_updates(state.params, updates),
+                    batch_stats=new_stats,
+                    opt_state=new_opt,
+                ),
+                loss,
+            )
+
+        return jax.lax.scan(body, state, order.astype(jnp.int32))
+
+    sharded = jax.shard_map(
+        local_epoch,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(0,))
+
+
+def replicate_state(state: TrainState, mesh: Mesh) -> TrainState:
+    """Place a TrainState replicated over the mesh (params, BN stats,
+    optimizer state; the tx itself is static)."""
+    from escgnn_tpu.parallel.mesh import replicate
+
+    return state.replace(
+        step=replicate(state.step, mesh),
+        params=replicate(state.params, mesh),
+        batch_stats=replicate(state.batch_stats, mesh),
+        opt_state=jax.tree.map(
+            lambda x: replicate(x, mesh) if hasattr(x, "shape") else x,
+            state.opt_state,
+        ),
+    )

@@ -281,6 +281,140 @@ def make_halo_train_step(mesh: Mesh, num_layers: int, lr: float = 1e-2,
     return jax.jit(fn)
 
 
+def build_halo_batch(batch: GraphBatch, plan: HaloPlan) -> GraphBatch:
+    """Re-layout a padded WIDTH-layout batch into per-device halo shards
+    (host side). Every array gains a leading device axis D:
+
+      * node-aligned arrays (x/y/pos/node_mask) -> (D, N/D, ...) range
+        shards;
+      * edge-aligned arrays (senders/receivers/edge_mask from the plan;
+        edge_attr + the per-edge enc_idx/enc_cnt re-laid via
+        `scatter_edge_payload`) -> (D, E_shard, ...);
+      * the plan's boundary_send/halo_src ride in `extras` for the
+        model's per-conv halo exchange (models/layers.py GINEConv
+        halo_axis path).
+
+    Feed the result to `make_halo_nested_train_step` with in_spec
+    P(axis) — inside shard_map each device strips its leading axis and
+    sees a normal local GraphBatch.
+    """
+    assert batch.enc_idx is not None and batch.enc_edge_row is None, (
+        "halo sharding requires the width enc layout "
+        "(BatchSpec(..., enc_layout='width')): per-edge rows shard exactly"
+    )
+    D, nps = plan.num_devices, plan.nodes_per_shard
+
+    def node_shard(a):
+        return None if a is None else np.asarray(a).reshape(
+            (D, nps) + np.asarray(a).shape[1:]
+        )
+
+    def edge_shard(a):
+        return None if a is None else scatter_edge_payload(
+            plan, np.asarray(a)
+        )
+
+    return GraphBatch(
+        x=node_shard(batch.x),
+        y=node_shard(batch.y),
+        pos=node_shard(batch.pos),
+        node_mask=node_shard(batch.node_mask),
+        senders=plan.senders,
+        receivers=plan.receivers,
+        edge_mask=plan.edge_mask,
+        edge_attr=edge_shard(batch.edge_attr),
+        enc_idx=edge_shard(batch.enc_idx),
+        enc_cnt=edge_shard(batch.enc_cnt),
+        # graph-level assignments are meaningless per shard (graphs can
+        # straddle range boundaries); halo mode is node-level only
+        graph_mask=np.broadcast_to(
+            np.asarray(batch.graph_mask), (D,) + batch.graph_mask.shape
+        ),
+        extras={
+            "halo_boundary_send": plan.boundary_send,
+            "halo_src": plan.halo_src,
+        },
+    )
+
+
+def make_halo_nested_train_step(model, mesh: Mesh, axis: str = "model"):
+    """Train the REAL flagship model (NestedGINEff with
+    `cfg.halo_axis=axis`) under receiver-range node+edge sharding:
+    z-emb width path on local edge shards, every MaskedBatchNorm
+    psum-reducing masked statistics to the global moments, per-conv
+    boundary all_gather, JK + node-level head on local rows.
+
+    Loss: masked L1 over nodes, exact global (local contribution
+    divided by the psum'd count, then psum'd — same value as
+    `train.loop.l1_node_loss` on the unsharded batch). Gradients psum
+    to the exact global gradient; the replicated optimizer update runs
+    identically on every shard, so the step is numerically equivalent
+    to the single-device step (tests/test_halo.py asserts allclose).
+
+    Returns step(state, halo_batch, rng) -> (state, loss) where
+    `halo_batch` comes from `build_halo_batch` (leading device axis,
+    placed with in_spec P(axis)).
+    """
+    import optax
+
+    from escgnn_tpu.train.loop import TrainState
+
+    def local_step(state: TrainState, batch_sh: GraphBatch, rng):
+        batch = jax.tree.map(lambda a: a[0], batch_sh)
+        cnt = jax.lax.psum(
+            jnp.sum(batch.node_mask.astype(jnp.float32)), axis
+        )
+
+        def compute(params):
+            out, mut = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch,
+                deterministic=False,
+                use_running_average=False,
+                mutable=["batch_stats"],
+                rngs={"dropout": rng},
+            )
+            err = jnp.abs(out - batch.y)
+            err = err * batch.node_mask.astype(err.dtype)[:, None]
+            # LOCAL contribution to the global masked mean (psum'd below;
+            # differentiating a psum'd total would scale cotangents by D)
+            loss_local = jnp.sum(err) / jnp.maximum(
+                cnt * err.shape[-1], 1.0
+            )
+            return loss_local, mut["batch_stats"]
+
+        (loss_local, new_stats), grads = jax.value_and_grad(
+            compute, has_aux=True
+        )(state.params)
+        grads = jax.lax.psum(grads, axis)
+        loss = jax.lax.psum(loss_local, axis)
+        # BN stats are already global: every MaskedBatchNorm psums its
+        # moments internally, so new_stats is identical on all shards
+        updates, new_opt = state.tx.update(
+            grads, state.opt_state, state.params
+        )
+        return (
+            state.replace(
+                step=state.step + 1,
+                params=optax.apply_updates(state.params, updates),
+                batch_stats=new_stats,
+                opt_state=new_opt,
+            ),
+            loss,
+        )
+
+    # every array in the halo batch carries the leading device axis, so a
+    # single P(axis) prefix-spec shards the whole pytree
+    fn = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn, donate_argnums=(0,))
+
+
 def scatter_edge_payload(plan: HaloPlan, payload: np.ndarray) -> np.ndarray:
     """Re-layout a global (E, ...) edge payload into the plan's
     (D, E_shard, ...) shards (host side; padding slots get zeros)."""

@@ -123,6 +123,13 @@ def main():
                    help="pre-built membership-shuffled train batch pools cycled across epochs (bounded-transfer stand-in for per-epoch reshuffling)")
     p.add_argument("--reshuffle_membership", action="store_true",
                    help="re-form train batches every epoch (reference-exact shuffling; leaks host RSS on the remote-tunnel env — see train pool comment)")
+    p.add_argument("--mesh", default="none", choices=["none", "dp"],
+                   help="train over a jax.sharding.Mesh: 'dp' = data "
+                   "parallel (each step consumes one batch per device; "
+                   "grads/loss/BN stats pmean'd over ICI — the reference "
+                   "DistributedSampler+DDP role, kernel/train_eval.py:44-57)")
+    p.add_argument("--mesh_devices", type=int, default=0,
+                   help="device count for --mesh (0 = all visible)")
     p.add_argument("--bn_eval", default="running",
                    choices=["batch", "running"],
                    help="eval-time BN statistics. 'running' (default) = "
@@ -197,6 +204,24 @@ def main():
     n_params = sum(x.size for x in jax.tree.leaves(state.params))
     print(f"params: {n_params / 1e6:.2f}M")
 
+    mesh = None
+    if args.mesh == "dp":
+        from escgnn_tpu.parallel.data_parallel import (
+            make_dp_pool_train_step,
+            replicate_state,
+        )
+        from escgnn_tpu.parallel.mesh import make_mesh, replicate
+
+        n_dev = args.mesh_devices or len(jax.devices())
+        mesh = make_mesh(n_dev)
+        state = replicate_state(state, mesh)
+        dp_pool_step = make_dp_pool_train_step(model, l1_node_loss, mesh)
+        print(f"mesh: dp over {n_dev} devices "
+              f"(effective batch {n_dev * args.batch_size})")
+        assert not args.reshuffle_membership, (
+            "--mesh dp uses device-resident pools"
+        )
+
     train_step = make_train_step(model, l1_node_loss)
     if not args.reshuffle_membership:
         pool_train_step = make_pool_train_step(model, l1_node_loss)
@@ -227,6 +252,18 @@ def main():
     val_stack = stack_split(splits["val"], spec)
     test_stack = stack_split(splits["test"], spec)
     refresh_stack = stack_split(splits["train"][: 8 * args.batch_size], spec)
+    if mesh is not None:
+        # dp: pools and eval stacks replicated over the mesh (a dp step
+        # consumes device-count batches per scan step; eval runs the
+        # replicated computation on every device)
+        assert num_train_batches >= mesh.size, (
+            f"need >= {mesh.size} train batches for --mesh dp, have "
+            f"{num_train_batches}"
+        )
+        stacked_pools = [replicate(p, mesh) for p in stacked_pools]
+        val_stack = replicate(val_stack, mesh)
+        test_stack = replicate(test_stack, mesh)
+        refresh_stack = replicate(refresh_stack, mesh)
     eval_pool = make_pool_eval_step(
         model, node_level=True, bn_mode=args.bn_eval
     )
@@ -252,6 +289,16 @@ def main():
                 state, loss = train_step(state, b, sub)
                 losses.append(loss)
             train_loss = float(jnp.mean(jnp.stack(losses)))
+        elif mesh is not None:
+            pool = stacked_pools[(epoch - 1) % len(stacked_pools)]
+            perm = data_rng.permutation(num_train_batches)
+            steps = num_train_batches // mesh.size
+            order = jnp.asarray(
+                perm[: steps * mesh.size].reshape(steps, mesh.size),
+                jnp.int32,
+            )
+            state, ep_losses = dp_pool_step(state, pool, order, rng)
+            train_loss = float(jnp.mean(ep_losses))
         else:
             pool = stacked_pools[(epoch - 1) % len(stacked_pools)]
             order = jnp.asarray(

@@ -78,6 +78,13 @@ def main():
     p.add_argument("--bn_eval", default="running",
                choices=["batch", "running"],
                help="eval-time BN statistics (see make_eval_step)")
+    p.add_argument("--mesh", default="none", choices=["none", "dp"],
+                   help="train over a jax.sharding.Mesh: 'dp' = data "
+                   "parallel (one batch per device per step; grads/loss/"
+                   "BN stats pmean'd over ICI — the reference "
+                   "DistributedSampler+DDP role, kernel/train_eval.py:44-57)")
+    p.add_argument("--mesh_devices", type=int, default=0,
+                   help="device count for --mesh (0 = all visible)")
     args = p.parse_args()
 
     res_dir = args.res_dir or os.path.join(
@@ -204,6 +211,24 @@ def main():
         variables["params"], variables.get("batch_stats", {}),
         adam_with_plateau(args.lr),
     )
+    mesh = None
+    if args.mesh == "dp":
+        from escgnn_tpu.parallel.data_parallel import (
+            make_dp_pool_train_step,
+            replicate_state,
+        )
+        from escgnn_tpu.parallel.mesh import make_mesh, replicate
+
+        n_dev = args.mesh_devices or len(jax.devices())
+        mesh = make_mesh(n_dev)
+        state = replicate_state(state, mesh)
+        dp_pool_step = make_dp_pool_train_step(model, l1_graph_loss, mesh)
+        print(f"mesh: dp over {n_dev} devices "
+              f"(effective batch {n_dev * args.batch_size})")
+        assert not args.reshuffle_membership, (
+            "--mesh dp uses device-resident pools"
+        )
+
     train_step = make_train_step(model, l1_graph_loss)
     if not args.reshuffle_membership:
         pool_train_step = make_pool_train_step(model, l1_graph_loss)
@@ -224,6 +249,16 @@ def main():
     val_stack = stack_split(splits["val"], spec)
     test_stack = stack_split(splits["test"], spec)
     refresh_stack = stack_split(splits["train"][: 8 * args.batch_size], spec)
+    if mesh is not None:
+        # dp: pools and eval stacks replicated over the mesh
+        assert num_train_batches >= mesh.size, (
+            f"need >= {mesh.size} train batches for --mesh dp, have "
+            f"{num_train_batches}"
+        )
+        stacked_pools = [replicate(p, mesh) for p in stacked_pools]
+        val_stack = replicate(val_stack, mesh)
+        test_stack = replicate(test_stack, mesh)
+        refresh_stack = replicate(refresh_stack, mesh)
     eval_pool = make_pool_eval_step(
         model, node_level=False, bn_mode=args.bn_eval
     )
@@ -245,6 +280,16 @@ def main():
                 rng, sub = jax.random.split(rng)
                 state, loss = train_step(state, b, sub)
                 losses.append(loss)
+        elif mesh is not None:
+            pool = stacked_pools[(epoch - 1) % len(stacked_pools)]
+            perm = data_rng.permutation(num_train_batches)
+            steps = num_train_batches // mesh.size
+            order = jnp.asarray(
+                perm[: steps * mesh.size].reshape(steps, mesh.size),
+                jnp.int32,
+            )
+            state, ep_losses = dp_pool_step(state, pool, order, rng)
+            losses.append(jnp.mean(ep_losses))
         else:
             pool = stacked_pools[(epoch - 1) % len(stacked_pools)]
             order = jnp.asarray(

@@ -160,3 +160,77 @@ def test_halo_train_step_matches_single_device(rng):
         ),
         new_params, want_params,
     )
+
+
+def test_halo_real_model_matches_single_device(rng):
+    """The REAL NestedGINEff (z-emb width path, masked BN with psum'd
+    statistics, JK, node-level head) trained one step under receiver-range
+    halo sharding == the same Adam step on one device: same loss, same
+    updated params, same BN running stats."""
+    from escgnn_tpu.models.nested_gin_eff import (
+        NestedGINEff,
+        NestedGINEffConfig,
+    )
+    from escgnn_tpu.parallel.halo import (
+        build_halo_batch,
+        make_halo_nested_train_step,
+    )
+    import optax
+
+    from escgnn_tpu.train.loop import (
+        TrainState,
+        l1_node_loss,
+        make_train_step,
+    )
+    from tests.test_model import make_graphs, to_jax
+
+    D = 4
+    mesh = make_mesh(D, axis_names=("model",))
+    graphs = make_graphs(rng, k=4)
+    spec = BatchSpec.from_graphs(graphs, batch_size=4)  # width enc layout
+    b = pad_and_batch(graphs, spec)
+    assert b.num_nodes % D == 0
+
+    base_cfg = NestedGINEffConfig(hidden=8, num_layers=2, graph_pred=False)
+    base = NestedGINEff(base_cfg)
+    variables = base.init(jax.random.key(0), to_jax(b))
+
+    def fresh():
+        # SGD (not Adam): the structurally-zero gradients of bias-into-BN
+        # params are computed as catastrophic cancellations whose float
+        # noise differs between reduction orders; Adam's first step is
+        # ~lr*sign(g), which amplifies that noise to full lr. SGD keeps
+        # the comparison proportional to the (tiny) gradient difference.
+        return TrainState.create(
+            jax.tree.map(jnp.array, variables["params"]),
+            jax.tree.map(jnp.array, variables.get("batch_stats", {})),
+            optax.sgd(1e-2),
+        )
+
+    s1, loss1 = make_train_step(base, l1_node_loss)(
+        fresh(), to_jax(b), jax.random.key(3)
+    )
+
+    halo_model = NestedGINEff(
+        NestedGINEffConfig(
+            hidden=8, num_layers=2, graph_pred=False, halo_axis="model"
+        )
+    )
+    plan = plan_halo_sharding(b, D)
+    hb = jax.tree.map(jnp.asarray, build_halo_batch(b, plan))
+    step = make_halo_nested_train_step(halo_model, mesh, "model")
+    s2, loss2 = step(fresh(), hb, jax.random.key(3))
+
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-5)
+    jax.tree.map(
+        lambda a, w: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(w), rtol=2e-4, atol=1e-5
+        ),
+        s2.params, s1.params,
+    )
+    jax.tree.map(
+        lambda a, w: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(w), rtol=2e-4, atol=1e-5
+        ),
+        s2.batch_stats, s1.batch_stats,
+    )
