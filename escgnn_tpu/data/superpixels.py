@@ -151,16 +151,26 @@ def superpixel_splits(
     seed: int = 0,
 ) -> tuple[dict, bool]:
     """Real splits when `<data_dir>/superpixels/<NAME>.pkl` exists;
-    otherwise a deterministic 80/10/10 split of the synthetic generator
-    (class-stratified by construction: labels cycle 0..9).
-    Returns (splits, is_real)."""
+    otherwise a deterministic approximately-stratified 80/10/10 split of
+    the synthetic generator: per-class shuffles interleaved round-robin,
+    then global proportional cuts — classes spread as evenly as the
+    split sizes allow (a split smaller than the class count cannot hold
+    every class). Returns (splits, is_real)."""
     cand = os.path.join(data_dir, "superpixels", f"{name.upper()}.pkl")
     if os.path.exists(cand):
         return load_superpixel_pickle(cand), True
     raw = synthetic_superpixels(name, num_graphs=num_graphs, seed=seed)
-    # interleave so every split sees every class
     rng = np.random.default_rng(seed)
-    order = rng.permutation(len(raw))
+    labels = np.asarray([int(np.asarray(g.y).reshape(-1)[0]) for g in raw])
+    per_class = [
+        list(rng.permutation(np.flatnonzero(labels == c)))
+        for c in rng.permutation(np.unique(labels))
+    ]
+    order: list[int] = []
+    while any(per_class):
+        for lst in per_class:
+            if lst:
+                order.append(int(lst.pop()))
     raw = [raw[i] for i in order]
     n_tr, n_val = int(0.8 * len(raw)), int(0.1 * len(raw))
     return {

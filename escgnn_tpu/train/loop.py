@@ -111,13 +111,11 @@ def bce_graph_loss(out: jax.Array, batch: GraphBatch) -> jax.Array:
     """Masked sigmoid BCE over real graphs (multilabel classification —
     the peptides-func / ogbg-mol task shape). NaN label entries are
     unlabeled tasks and drop out of the mean (reference
-    `run_ogb_mol.py:65-72`)."""
-    y = batch.y.astype(out.dtype)
-    labeled = ~jnp.isnan(y)
-    y = jnp.where(labeled, y, 0.0)
-    per = jnp.maximum(out, 0.0) - out * y + jnp.log1p(jnp.exp(-jnp.abs(out)))
-    m = labeled.astype(per.dtype) * batch.graph_mask.astype(per.dtype)[:, None]
-    return jnp.sum(per * m) / jnp.maximum(jnp.sum(m), 1.0)
+    `run_ogb_mol.py:65-72`). Single implementation lives in
+    train/metrics.py (the NaN-masking logic must not fork)."""
+    from escgnn_tpu.train.metrics import masked_bce_with_logits
+
+    return masked_bce_with_logits(out, batch)
 
 
 def make_pool_logits_step(model):

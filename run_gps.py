@@ -195,15 +195,19 @@ def build_dataset(cfg, seed: int):
     )
     if ys.shape[1] > 1:
         # multi-target regression (peptides-struct): per-column
-        # standardization; the reported scale is the mean column std
-        # (normalized MAE x it = the LRGB-style averaged MAE)
+        # standardization, and the reported metric is the MAE on the
+        # STANDARDIZED targets (scale 1.0) — LRGB's peptides-structural
+        # targets are pre-standardized and its MAE is reported on them
+        # directly; multiplying the mean normalized MAE by the mean
+        # column std would only equal the averaged denormalized MAE when
+        # all column stds coincide (mean(sd)*mean(MAE) != mean(sd*MAE))
         mu, sd = ys.mean(axis=0), ys.std(axis=0, ddof=1).clip(1e-8)
         for s in splits.values():
             for g in s:
                 g.y = ((np.asarray(g.y).reshape(-1) - mu) / sd).astype(
                     np.float32
                 )
-        return splits, float(mu.mean()), float(sd.mean())
+        return splits, float(mu.mean()), 1.0
     mean, std = float(ys.mean()), float(ys.std(ddof=1))
     for s in splits.values():
         for g in s:
@@ -342,7 +346,16 @@ def run_one(cfg, seed: int, out_dir: str) -> dict:
         from escgnn_tpu.train.metrics import average_precision, rocauc
 
         v = (rocauc if use_auc else average_precision)(y, out)
-        return 0.0 if np.isnan(v) else v
+        if np.isnan(v):
+            # degenerate eval split (single class / no positives):
+            # the metric is undefined — surface it instead of a
+            # silent 0.0 feeding best-val tracking (the OGB
+            # Evaluator raises here); NaN never becomes best-val
+            import warnings
+            warnings.warn(f"{metric_name} undefined on this "
+                          "split (degenerate labels); "
+                          "reporting NaN")
+        return v
 
     sign = -1.0 if higher_better else 1.0
     best_val = float("inf")
@@ -382,6 +395,17 @@ def run_one(cfg, seed: int, out_dir: str) -> dict:
             )
         if epoch % cfg.train.ckpt_period == 0:
             ckpt.save(int(state.step), state)
+    if best_epoch == -1:
+        # no eval epoch ever ran (train.epochs < train.eval_period):
+        # evaluate the final state instead of returning +/-inf / NaN
+        # aggregates
+        state = state.replace(
+            batch_stats=refresh_pool(
+                state.batch_stats, state.params, refresh_stack
+            )
+        )
+        best_val = sign * evaluate_stack(val_stack)
+        best_test, best_epoch = evaluate_stack(test_stack), cfg.train.epochs
     key = metric_name.lower()
     return {
         f"best_val_{key}": sign * best_val * std,
@@ -429,7 +453,11 @@ def run_eval_only(cfg, ckpt_dir: str):
             if task == "classification":
                 return float((out.argmax(-1) == y.reshape(-1)).mean())
             v = (rocauc if use_auc else average_precision)(y, out)
-            return 0.0 if np.isnan(v) else v
+            if np.isnan(v):
+                import warnings
+                warnings.warn("metric undefined on this split "
+                              "(degenerate labels); reporting NaN")
+            return v
         tot = cnt = 0.0
         for b in batch_iterator(graphs, spec):
             b = jax.tree.map(jnp.asarray, b)

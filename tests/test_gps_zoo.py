@@ -153,6 +153,10 @@ def test_gps_ogb_molhiv_end_to_end(tmp_path):
     cfg = _tiny_cfg(tmp_path, "ogbg-molhiv", "multilabel", 1,
                     "ogb_atom", "ogb_bond")
     cfg.metric = "auc"
+    # ROC-AUC is undefined on a single-class split (reported as NaN with
+    # a warning since the ADVICE r1 fix) — 20 graphs leave a 2-graph val
+    # split, so use enough graphs for both classes to land in val/test
+    cfg.dataset.num_graphs = 60
     res = run_gps.run_one(cfg, seed=0, out_dir=str(tmp_path / "out"))
     assert 0.0 <= res["best_val_auc"] <= 1.0
     assert 0.0 <= res["best_test_auc"] <= 1.0
