@@ -122,13 +122,16 @@ def _batched_pinv(
 
 
 def esc_encode(
-    num_nodes: int, edge_index: np.ndarray, cfg: EscConfig
+    num_nodes: int, edge_index: np.ndarray, cfg: EscConfig,
+    sample_seed: int = 0,
 ) -> EscEncoding:
-    """Encode one graph into per-edge structural count rows."""
-    if cfg.max_nodes_per_hop is not None:
-        raise NotImplementedError(
-            "max_nodes_per_hop sampling is only available in the oracle path"
-        )
+    """Encode one graph into per-edge structural count rows.
+
+    `sample_seed` only matters with `cfg.max_nodes_per_hop`: the per-hop
+    frontier subsample is drawn from a rng derived per (seed, root, hop)
+    (see `bfs.sampled_hop_distance_matrix`), so the encoding is a
+    deterministic function of (graph, cfg, sample_seed) and bit-equal to
+    the per-edge oracle under the same seed."""
     lay = cfg.layout
     n = int(num_nodes)
     h = cfg.h
@@ -147,7 +150,14 @@ def esc_encode(
 
     # BFS over the canonical (self-looped) edge list; self-loops do not
     # change distances but keep the traversal identical to the reference.
-    D = hop_distance_matrix(n, edges, h)  # (N, N)
+    if cfg.max_nodes_per_hop is not None:
+        from escgnn_tpu.featurize.bfs import sampled_hop_distance_matrix
+
+        D = sampled_hop_distance_matrix(
+            n, edges, h, cfg.max_nodes_per_hop, sample_seed
+        )
+    else:
+        D = hop_distance_matrix(n, edges, h)  # (N, N)
 
     # Adjacency with multiplicities for in-subgraph degree (out-degree of
     # the stored directed edges, self-loops included).

@@ -24,11 +24,17 @@ def _bfs_hops(
     edges: np.ndarray,
     num_nodes: int,
     max_nodes_per_hop: Optional[int],
-    rng: Optional[np.random.Generator],
+    sample_seed: int = 0,
 ) -> dict[int, int]:
     """Hop distance dict {node: dist} for nodes within num_hops of root,
     following edges backwards (sender <- receiver), with optional per-hop
-    random subsampling as in the reference."""
+    frontier subsampling as in the reference
+    (`utils_edge_efficient.py:238-240`). The subsample is drawn via the
+    canonical derived-seed procedure shared with the vectorized path
+    (`bfs._sample_frontier`), so both produce the same sampled ego-net
+    for a given (graph, root, seed)."""
+    from escgnn_tpu.featurize.bfs import _sample_frontier
+
     senders, receivers = edges[0], edges[1]
     dist = {int(root): 0}
     frontier = [int(root)]
@@ -43,8 +49,10 @@ def _bfs_hops(
         if not nxt:
             break
         if max_nodes_per_hop is not None and len(nxt) > max_nodes_per_hop:
-            assert rng is not None
-            nxt = list(rng.choice(nxt, size=max_nodes_per_hop, replace=False))
+            nxt = list(_sample_frontier(
+                np.asarray(sorted(nxt)), max_nodes_per_hop,
+                sample_seed, int(root), k,
+            ))
         for nid in nxt:
             dist[nid] = k
         frontier = nxt
@@ -55,7 +63,7 @@ def esc_encode_oracle(
     num_nodes: int,
     edge_index: np.ndarray,
     cfg: EscConfig,
-    rng: Optional[np.random.Generator] = None,
+    sample_seed: int = 0,
 ) -> EscEncoding:
     lay = cfg.layout
     n = int(num_nodes)
@@ -66,8 +74,8 @@ def esc_encode_oracle(
     all_idx, all_cnt, offsets = [], [], [0]
     for e in range(E):
         u, v = int(edges[0, e]), int(edges[1, e])
-        du = _bfs_hops(u, h, edges, n, cfg.max_nodes_per_hop, rng)
-        dv = _bfs_hops(v, h, edges, n, cfg.max_nodes_per_hop, rng)
+        du = _bfs_hops(u, h, edges, n, cfg.max_nodes_per_hop, sample_seed)
+        dv = _bfs_hops(v, h, edges, n, cfg.max_nodes_per_hop, sample_seed)
         # Node list: [u, v, remaining-of-u's-net, remaining-of-v's-net].
         # When u == v the leading pair duplicates v (the reference's phantom
         # copy: both entries stay in the list, relabeling points edges at

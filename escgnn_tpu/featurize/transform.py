@@ -26,17 +26,18 @@ def esc_transform(
     self_loop_fill=1,
 ) -> GraphData:
     if cfg.max_nodes_per_hop is not None:
-        # per-hop frontier subsampling is inherently sequential per edge
-        # (reference `utils_edge_efficient.py:238-240` random sampling) —
-        # route through the per-edge encoder, seeded per graph for
-        # deterministic caches
-        from escgnn_tpu.featurize.oracle import esc_encode_oracle
-
-        rng = np.random.default_rng(
-            np.asarray(g.edge_index, np.uint32).sum()
-            + np.uint32(g.num_nodes)
+        # per-hop frontier subsampling (reference
+        # `utils_edge_efficient.py:238-240`) now runs on the FAST
+        # vectorized path: the subsample is drawn from a rng derived per
+        # (seed, root, hop) with the per-graph seed below, so caches are
+        # deterministic and the per-edge oracle reproduces it bit-equal
+        # (tests/test_featurize.py). The native C++ core declines mnph
+        # configs (no derived-stream sampler there yet).
+        seed = int(
+            (np.asarray(g.edge_index, np.uint64).sum()
+             + np.uint64(g.num_nodes)) & np.uint64(0x7FFFFFFF)
         )
-        enc = esc_encode_oracle(g.num_nodes, g.edge_index, cfg, rng=rng)
+        enc = esc_encode(g.num_nodes, g.edge_index, cfg, sample_seed=seed)
     else:
         # native C++ core first (bit-equal, ~7x faster — OpenMP across
         # edges, Gauss-Jordan rd); returns None when it declines (build

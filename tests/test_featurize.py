@@ -180,3 +180,53 @@ def test_max_nodes_per_hop_routes_to_sampling_path(rng):
         g, EscConfig(h=2, use_rd=True, self_loop=True)
     )
     assert a.enc_cnt.sum() <= full.enc_cnt.sum()
+
+
+@pytest.mark.parametrize("cap", [1, 2, 3])
+def test_mnph_fast_matches_oracle_bit_equal(rng, cap):
+    """Sampled encoding: vectorized path == per-edge oracle under the
+    same derived-seed sampling, across caps and graphs."""
+    for trial in range(4):
+        n, ei = random_graph(rng, min_n=6, max_n=12, p=0.5)
+        cfg = EscConfig(h=3, use_rd=True, self_loop=True,
+                        max_nodes_per_hop=cap)
+        fast = esc_encode(n, ei, cfg, sample_seed=trial)
+        slow = esc_encode_oracle(n, ei, cfg, sample_seed=trial)
+        np.testing.assert_array_equal(fast.edge_index, slow.edge_index)
+        np.testing.assert_array_equal(
+            dense_rows(fast, cfg.layout.dim), dense_rows(slow, cfg.layout.dim)
+        )
+
+
+def test_mnph_caps_subgraph_growth(rng):
+    """With cap k, a root discovers at most k new nodes per hop, so the
+    z0==d histogram mass per edge is bounded by 1 + h*k + (v-side)."""
+    n, ei = random_graph(rng, n=14, p=0.6)
+    cap = 2
+    cfg = EscConfig(h=3, use_rd=False, self_loop=False,
+                    max_nodes_per_hop=cap)
+    enc = esc_encode(n, ei, cfg, sample_seed=0)
+    lay = cfg.layout
+    E = enc.edge_index.shape[1]
+    dense = dense_rows(enc, lay.dim)
+    # member count per edge = union of two sampled ego-nets
+    members = dense[:, :lay.deg_buckets].sum(axis=1)
+    assert np.all(members <= 2 * (1 + cfg.h * cap))
+    # the full encoder on this dense graph reaches far more nodes
+    full = esc_encode(n, ei, EscConfig(h=3, use_rd=False, self_loop=False))
+    full_members = dense_rows(full, lay.dim)[:, :lay.deg_buckets].sum(axis=1)
+    assert full_members.max() > members.max()
+
+
+def test_mnph_seed_changes_sample(rng):
+    n, ei = random_graph(rng, n=14, p=0.6)
+    cfg = EscConfig(h=2, use_rd=False, self_loop=False, max_nodes_per_hop=1)
+    a = esc_encode(n, ei, cfg, sample_seed=0)
+    b = esc_encode(n, ei, cfg, sample_seed=1)
+    c = esc_encode(n, ei, cfg, sample_seed=0)
+    np.testing.assert_array_equal(
+        dense_rows(a, cfg.layout.dim), dense_rows(c, cfg.layout.dim)
+    )
+    assert not np.array_equal(
+        dense_rows(a, cfg.layout.dim), dense_rows(b, cfg.layout.dim)
+    )
