@@ -876,9 +876,15 @@ def _batch_ksets(graphs, node_off, spec: BatchSpec, fields) -> dict:
 def _batch_named_extras(graphs, n_sizes, e_sizes, perms, node_off, edge_off,
                         spec):
     """Generic extras: node-aligned padded like x, edge-aligned permuted
-    like edge_attr, dense per-graph matrices stacked into (G, M, M)."""
+    like edge_attr, subgraph-copy-aligned padded to the segment budget
+    (e.g. node-level targets of copy-based models — one row per original
+    node == one row per copy), dense per-graph matrices stacked into
+    (G, M, M)."""
     out: dict = {}
     ex0 = graphs[0].extras or {}
+    seg_sizes = [int((g.extras or {}).get("num_subgraphs", 0))
+                 for g in graphs]
+    seg_off = np.concatenate([[0], np.cumsum(seg_sizes)])
     for key, v0 in ex0.items():
         if key in _STRUCTURAL_KEYS or key.startswith("kset") \
                 or key.startswith("num_"):
@@ -914,6 +920,12 @@ def _batch_named_extras(graphs, n_sizes, e_sizes, perms, node_off, edge_off,
                     for i, g in enumerate(graphs)
                 ],
                 e_sizes, spec.num_edges, offsets=edge_off,
+            )
+        elif (v0.ndim >= 1 and seg_sizes[0]
+              and v0.shape[0] == seg_sizes[0] and spec.num_segments > 0):
+            out[key] = _pad_rows(
+                [np.asarray(g.extras[key]) for g in graphs],
+                seg_sizes, spec.num_segments, offsets=seg_off,
             )
         else:
             raise ValueError(

@@ -498,6 +498,9 @@ class RGCNBaselineConfig:
     edge_attr_dim: int = 5
     use_pos: bool = False
     concat: bool = False
+    # node-level head (reference zinc_cycle_models.py GNN variant): skip
+    # the graph pooling, fc head per node
+    node_level: bool = False
 
 
 class RGCNBaseline(nn.Module):
@@ -526,9 +529,10 @@ class RGCNBaseline(nn.Module):
             xs.append(x)
         if cfg.concat:
             x = jnp.concatenate(xs, axis=-1)
-        x = segment_mean(
-            x, batch.node_graph, batch.num_graphs, mask=batch.node_mask
-        )
+        if not cfg.node_level:
+            x = segment_mean(
+                x, batch.node_graph, batch.num_graphs, mask=batch.node_mask
+            )
         x = nn.elu(TorchDense(32, name="fc1")(x))
         x = nn.elu(TorchDense(16, name="fc2")(x))
         return TorchDense(1, name="fc3")(x)

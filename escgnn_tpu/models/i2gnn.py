@@ -43,6 +43,10 @@ class I2GNNConfig:
     gate: bool = False
     out_dim: int = 1
     residual: bool = True
+    # node-level head (reference zinc_cycle_models.py I2GNN variant): the
+    # root-subgraph rows correspond 1:1 to original nodes, so stop at the
+    # subgraph level and run the fc head per row
+    node_level: bool = False
     # re-inject the pooled subgraph context into every layer
     # (reference `zinc_models.py:272-276`): x = double_nn([x ‖ pool(x)
     # broadcast back through node_to_original_node])
@@ -213,13 +217,16 @@ class I2GNN(nn.Module):
                 return nn.sigmoid(g)
 
         h1 = self._pool(h, batch, z_emb, gate_fn, pool_nn=pool_nn)
-        g = (
-            segment_sum(h1, batch.segment_graph, batch.num_graphs,
-                        mask=batch.segment_mask)
-            if cfg.graph_aggr == "add"
-            else segment_mean(h1, batch.segment_graph, batch.num_graphs,
-                              mask=batch.segment_mask)
-        )
+        if cfg.node_level:
+            g = h1  # one row per original node (root subgraph)
+        else:
+            g = (
+                segment_sum(h1, batch.segment_graph, batch.num_graphs,
+                            mask=batch.segment_mask)
+                if cfg.graph_aggr == "add"
+                else segment_mean(h1, batch.segment_graph, batch.num_graphs,
+                                  mask=batch.segment_mask)
+            )
 
         g = nn.elu(TorchDense(32, name="fc1")(g))
         g = nn.elu(TorchDense(16, name="fc2")(g))

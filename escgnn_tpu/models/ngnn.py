@@ -36,6 +36,10 @@ class NGNNConfig:
     subgraph_pooling: str = "mean"  # mean | center
     out_dim: int = 1
     residual: bool = True
+    # node-level head (reference zinc_cycle_models.py NGNN variant): the
+    # subgraph rows ARE the original nodes (one copy per node), so stop
+    # at the subgraph level and run the fc head per row
+    node_level: bool = False
 
 
 class NGNNGINConv(nn.Module):
@@ -137,10 +141,13 @@ class NGNN(nn.Module):
             sub = jnp.take(h, first, axis=0)
         else:
             sub = segment_mean(h, batch.node_segment, S, mask=node_mask)
-        g = segment_mean(
-            sub, batch.segment_graph, batch.num_graphs,
-            mask=batch.segment_mask,
-        )
+        if cfg.node_level:
+            g = sub  # one row per original node
+        else:
+            g = segment_mean(
+                sub, batch.segment_graph, batch.num_graphs,
+                mask=batch.segment_mask,
+            )
 
         g = nn.elu(TorchDense(32, name="fc1")(g))
         g = nn.elu(TorchDense(16, name="fc2")(g))

@@ -42,6 +42,16 @@ from functools import partial
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--dataset", default="ogbg-molhiv")
+    p.add_argument("--model", default="GNN",
+                   choices=["GNN", "GINEPlus", "NestedPPGN"],
+                   help="GNN = the efficient OGB GNN (virtual node + ESC "
+                        "z-emb, reference ogb_mol_gnn.py:614-792); "
+                        "GINEPlus = the multihop GINE+ ClassifierNetwork "
+                        "(modules/gine_operations.py:196-253); NestedPPGN "
+                        "= two-level dense PPGN over node copies "
+                        "(ogb_mol_gnn.py:1058-1212)")
+    p.add_argument("--multihop_k", type=int, default=3,
+                   help="GINEPlus: number of hop levels K")
     p.add_argument("--h", type=int, default=4)
     p.add_argument("--num_layer", type=int, default=6)
     p.add_argument("--emb_dim", type=int, default=300)
@@ -102,18 +112,38 @@ def main():
     rp_key = f"_rp{args.use_rp}" if args.use_rp else ""
 
     def featurize_split(graphs):
+        if args.model == "GINEPlus":
+            # multihop edge levels instead of the ESC encoding (the
+            # reference's GINE+ stack runs on plain OGB graphs,
+            # modules/gine_operations.py:256-303)
+            from escgnn_tpu.featurize.multihop import make_multihop_edges
+
+            return [make_multihop_edges(g, k=args.multihop_k)
+                    for g in graphs]
+        if args.model == "NestedPPGN":
+            from escgnn_tpu.featurize.node_subgraphs import (
+                NodeSubgraphConfig,
+                create_node_subgraphs,
+            )
+
+            scfg = NodeSubgraphConfig(
+                h=args.h, use_rd=True, keep_orig_adj=True
+            )
+            return [create_node_subgraphs(g, scfg) for g in graphs]
         if args.use_rp:
             from escgnn_tpu.featurize.rw import attach_return_prob
 
             graphs = [attach_return_prob(g, args.use_rp) for g in graphs]
         return featurize_many(graphs, ecfg, num_workers=args.num_workers)
 
+    model_key = {"GNN": "", "GINEPlus": f"_ginep{args.multihop_k}",
+                 "NestedPPGN": "_nppgn"}[args.model]
     splits = {}
     for name, graphs in raw_splits.items():
         splits[name] = cached_featurize(
             os.path.join(args.data_dir, args.dataset.replace("-", "_")),
             f"{name}_n{args.num_graphs}_s{args.seed}"
-            f"_{ecfg.cache_key()}{rp_key}",
+            f"_{ecfg.cache_key()}{rp_key}{model_key}",
             lambda graphs=graphs: featurize_split(graphs),
         )
 
@@ -121,19 +151,53 @@ def main():
     spec = BatchSpec.from_graphs(all_graphs, batch_size=args.batch_size)
     print("spec:", spec)
 
-    model = OgbGNN(
-        OgbGNNConfig(
-            num_tasks=args.num_tasks,
-            num_layers=args.num_layer,
-            emb_dim=args.emb_dim,
-            dropout=args.drop_ratio,
-            virtual_node=True,
-            graph_pooling=args.graph_pooling,
-            subgraph_pooling=args.subgraph_pooling,
-            rni=args.rni,
-            use_rp=args.use_rp or 0,
+    if args.model == "GINEPlus":
+        from escgnn_tpu.models.gine_plus import (
+            GINEPlusConfig,
+            GINEPlusNetwork,
         )
-    )
+
+        model = GINEPlusNetwork(GINEPlusConfig(
+            hidden=args.emb_dim,
+            out_dim=args.num_tasks,
+            num_layers=args.num_layer,
+            dropout=args.drop_ratio,
+            k=args.multihop_k,
+            virtual_node=True,
+        ))
+    elif args.model == "NestedPPGN":
+        from escgnn_tpu.models.nested_ppgn import (
+            NestedPPGN,
+            NestedPPGNConfig,
+        )
+
+        # static dense budget: the largest node-copy subgraph in the data
+        max_sub = 1
+        for g in all_graphs:
+            seg = np.asarray(g.extras["node_to_subgraph"])
+            max_sub = max(max_sub, int(np.bincount(seg).max()))
+        model = NestedPPGN(NestedPPGNConfig(
+            emb_dim=args.emb_dim,
+            num_rb_layers=args.num_layer,
+            num_tasks=args.num_tasks,
+            use_rd=True,
+            classify=False,  # BCE-with-logits head (OGB multilabel)
+            max_nodes_per_subgraph=max_sub,
+        ))
+    else:
+        model = OgbGNN(
+            OgbGNNConfig(
+                num_tasks=args.num_tasks,
+                num_layers=args.num_layer,
+                emb_dim=args.emb_dim,
+                dropout=args.drop_ratio,
+                virtual_node=True,
+                graph_pooling=args.graph_pooling,
+                subgraph_pooling=args.subgraph_pooling,
+                rni=args.rni,
+                use_rp=args.use_rp or 0,
+            )
+        )
     rng = jax.random.key(args.seed)
     init_b = jax.tree.map(
         jnp.asarray, next(batch_iterator(splits["train"][:2], spec))

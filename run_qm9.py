@@ -22,6 +22,15 @@ import numpy as np
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--target", type=int, default=0)
+    p.add_argument("--model", default="NestedGIN_eff",
+                   choices=["NestedGIN_eff", "NGNN", "I2GNN",
+                            "k1_GNN", "k12_GNN", "k13_GNN", "k123_GNN"],
+                   help="reference run_qm9.py model dispatch "
+                        "(eval(args.model) at :325): NGNN/I2GNN use the "
+                        "copy-based transforms; k12/k13/k123 are the "
+                        "nested higher-order k-GNNs over 2-/3-set graphs "
+                        "(qm9_models.py:291-563), k1_GNN the plain "
+                        "NNConv baseline")
     p.add_argument("--h", type=int, default=3)
     p.add_argument("--layers", type=int, default=5)
     p.add_argument("--hidden", type=int, default=256)
@@ -66,9 +75,65 @@ def main():
     ecfg = EscConfig(h=args.h, use_rd=True, self_loop=True)
     t0 = time.time()
     raw = synthetic_qm9(num_graphs=args.num_graphs, seed=args.seed)
-    feats = featurize_many(raw, ecfg, num_workers=args.num_workers,
-                           self_loop_fill=1.0)
-    feats = [append_distance_edge_attr(g) for g in feats]
+    KGNN_LEVELS = {"k1_GNN": (), "k12_GNN": (2,), "k13_GNN": (3,),
+                   "k123_GNN": (2, 3)}
+    if args.model == "NestedGIN_eff":
+        feats = featurize_many(raw, ecfg, num_workers=args.num_workers,
+                               self_loop_fill=1.0)
+        feats = [append_distance_edge_attr(g) for g in feats]
+    elif args.model in ("NGNN", "I2GNN"):
+        # embedding-based copy models: integer node/bond types (the
+        # reference's ZINC-style NGNN/I2GNN variants embed type ids)
+        from escgnn_tpu.data.container import GraphData
+
+        def to_typed(g):
+            return GraphData(
+                num_nodes=g.num_nodes, edge_index=g.edge_index,
+                x=np.argmax(g.x[:, :5], axis=1).astype(np.int32)[:, None],
+                edge_attr=np.argmax(g.edge_attr, axis=1).astype(
+                    np.int32)[:, None],
+                pos=g.pos, y=g.y,
+            )
+
+        typed = [to_typed(g) for g in raw]
+        if args.model == "NGNN":
+            from escgnn_tpu.featurize.node_subgraphs import (
+                NodeSubgraphConfig,
+                create_node_subgraphs,
+            )
+
+            scfg = NodeSubgraphConfig(h=args.h, use_rd=True)
+            feats = [create_node_subgraphs(g, scfg) for g in typed]
+        else:
+            from escgnn_tpu.featurize.pair_subgraphs import (
+                PairSubgraphConfig,
+                create_pair_subgraphs,
+            )
+
+            pcfg = PairSubgraphConfig(h=args.h, use_rd=True)
+            feats = [create_pair_subgraphs(g, pcfg) for g in typed]
+    else:
+        # k-GNN family: distance-extended continuous edge attrs on the
+        # original graph (the NNConv edge net consumes them), then nested
+        # node copies + k-set graph extras (reference run_qm9.py:165-207)
+        from escgnn_tpu.featurize.kset import attach_kset_graphs
+        from escgnn_tpu.featurize.node_subgraphs import (
+            NodeSubgraphConfig,
+            create_node_subgraphs,
+        )
+
+        levels = KGNN_LEVELS[args.model]
+        raw_d = [append_distance_edge_attr(g) for g in raw]
+        if args.model == "k1_GNN":
+            feats = raw_d
+        else:
+            scfg = NodeSubgraphConfig(h=args.h, use_rd=True)
+            feats = [
+                attach_kset_graphs(
+                    create_node_subgraphs(g, scfg), ks=levels, malkin=True
+                )
+                for g in raw_d
+            ]
     # shuffled 10/10/80 split (test/val/train), reference run_qm9.py:292-309
     rng_np = np.random.default_rng(args.seed)
     order = rng_np.permutation(len(feats))
@@ -112,31 +177,62 @@ def main():
     )
 
     all_graphs = [g for s in splits.values() for g in s]
-    # uniform per-graph blocks + dedup ESC rows: the fast layout the
-    # flagship bench uses (einsum message passing on the MXU, z-emb
-    # reduce on unique histogram rows) — numerically equal to the
-    # width layout (tests/test_zemb_dedup.py, tests/test_model.py)
-    spec = BatchSpec.uniform(
-        all_graphs, args.batch_size, enc_layout="dedup"
-    )
+    if args.model == "NestedGIN_eff":
+        # uniform per-graph blocks + dedup ESC rows: the fast layout the
+        # flagship bench uses (einsum message passing on the MXU, z-emb
+        # reduce on unique histogram rows) — numerically equal to the
+        # width layout (tests/test_zemb_dedup.py, tests/test_model.py)
+        spec = BatchSpec.uniform(
+            all_graphs, args.batch_size, enc_layout="dedup"
+        )
+    else:
+        # copy-based / k-set batches: ragged width layout (copies multiply
+        # the node count; uniform blocks would square the padding)
+        spec = BatchSpec.from_graphs(all_graphs, batch_size=args.batch_size)
     print("spec:", spec)
 
-    model = NestedGINEff(
-        NestedGINEffConfig(
-            hidden=args.hidden,
-            num_layers=args.layers,
-            dropout=0.0,
-            act="relu",
-            graph_pred=True,
-            pool="mean",
-            use_x_embedding_jk=False,
-            head_order="dropout_act",
-            concat_pos=True,
-            node_add_embed_vocab=5,
-            edge_float_attr=True,
+    if args.model == "NGNN":
+        from escgnn_tpu.models.ngnn import NGNN, NGNNConfig
+
+        model = NGNN(NGNNConfig(
+            num_layers=args.layers, hidden=args.hidden, use_rd=True,
             out_dim=1,
+        ))
+    elif args.model == "I2GNN":
+        from escgnn_tpu.models.i2gnn import I2GNN, I2GNNConfig
+
+        model = I2GNN(I2GNNConfig(
+            num_layers=args.layers, hidden=args.hidden, use_rd=True,
+            subgraph2_pooling="mean-center-side", gate=True, out_dim=1,
+        ))
+    elif args.model in KGNN_LEVELS:
+        from escgnn_tpu.models.kgnn_models import KGNN, KGNNConfig
+
+        nested = args.model != "k1_GNN"
+        model = KGNN(KGNNConfig(
+            levels=KGNN_LEVELS[args.model],
+            use_rd=nested,  # rd extras come from the node-copy transform
+            use_pos=True,
+            nested=nested,
+            out_dim=1,
+        ))
+    else:
+        model = NestedGINEff(
+            NestedGINEffConfig(
+                hidden=args.hidden,
+                num_layers=args.layers,
+                dropout=0.0,
+                act="relu",
+                graph_pred=True,
+                pool="mean",
+                use_x_embedding_jk=False,
+                head_order="dropout_act",
+                concat_pos=True,
+                node_add_embed_vocab=5,
+                edge_float_attr=True,
+                out_dim=1,
+            )
         )
-    )
 
     def mse_loss(out, batch):
         err = (out - batch.y) ** 2

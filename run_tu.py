@@ -188,6 +188,14 @@ def main():
                 num_layers=args.layers, out_dim=len(classes),
                 pool=args.pool, nested=args.nested,
             )
+        if args.model == "IDGNN":
+            # identity-aware layers (reference kernel/idgnn.py); conv in
+            # gin|gcn|sage|gat (gin0 maps to gin — no eps-free variant)
+            return get_model(
+                "IDGNN", conv={"gin0": "gin"}.get(args.conv, args.conv),
+                hidden=args.hidden, num_layers=args.layers,
+                out_dim=len(classes), pool=args.pool,
+            )
         return get_model(args.model, out_dim=len(classes))
 
     log_path = os.path.join(res_dir, "log.txt")

@@ -21,6 +21,13 @@ import numpy as np
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--target", type=int, default=0, help="0..3 -> 3..6-cycles")
+    p.add_argument("--model", default="NestedGIN_eff",
+                   choices=["NestedGIN_eff", "NGNN", "I2GNN", "GNN"],
+                   help="reference run_zinc_cycle.py model dispatch "
+                        "(:154-179): node-level variants — NGNN/I2GNN "
+                        "predict per ORIGINAL node via their subgraph "
+                        "rows, GNN is the plain RGCN with the graph "
+                        "pooling removed (zinc_cycle_models.py)")
     p.add_argument("--h", type=int, default=3)
     p.add_argument("--layers", type=int, default=5)
     p.add_argument("--hidden", type=int, default=256)
@@ -63,24 +70,50 @@ def main():
         g.y = count_cycles_per_node(g.num_nodes, g.edge_index).astype(
             np.float32
         )
-    ecfg = EscConfig(h=args.h, use_rd=True, self_loop=True)
-    feats = featurize_many(raw, ecfg, num_workers=args.num_workers)
-    n_tr, n_val = int(0.8 * len(feats)), int(0.1 * len(feats))
+    # standardize the selected target on RAW graphs (train+val stats),
+    # before any copy transform multiplies the node count
+    n_tr, n_val = int(0.8 * len(raw)), int(0.1 * len(raw))
+    ys = np.concatenate(
+        [g.y[:, args.target] for g in raw[: n_tr + n_val]]
+    )
+    mean, std = float(ys.mean()), float(ys.std(ddof=1))
+    std = max(std, 1e-8)
+    for g in raw:
+        g.y = ((g.y[:, args.target] - mean) / std)[:, None].astype(np.float32)
+
+    # seg_level: predictions live on subgraph-copy rows (one per original
+    # node), targets ride in extras["y_seg"] with the segment batching rule
+    seg_level = args.model in ("NGNN", "I2GNN")
+    if args.model == "NestedGIN_eff":
+        ecfg = EscConfig(h=args.h, use_rd=True, self_loop=True)
+        feats = featurize_many(raw, ecfg, num_workers=args.num_workers)
+    elif args.model == "GNN":
+        feats = raw  # plain RGCN over the original graph
+    else:
+        if args.model == "NGNN":
+            from escgnn_tpu.featurize.node_subgraphs import (
+                NodeSubgraphConfig,
+                create_node_subgraphs,
+            )
+
+            scfg = NodeSubgraphConfig(h=args.h, use_rd=True)
+            feats = [create_node_subgraphs(g, scfg) for g in raw]
+        else:
+            from escgnn_tpu.featurize.pair_subgraphs import (
+                PairSubgraphConfig,
+                create_pair_subgraphs,
+            )
+
+            pcfg = PairSubgraphConfig(h=args.h, use_rd=True)
+            feats = [create_pair_subgraphs(g, pcfg) for g in raw]
+        for g, r in zip(feats, raw):
+            g.extras["y_seg"] = np.asarray(r.y, np.float32)
+            g.y = None
     splits = {
         "train": feats[:n_tr],
         "val": feats[n_tr:n_tr + n_val],
         "test": feats[n_tr + n_val:],
     }
-    ys = np.concatenate(
-        [g.y[:, args.target] for s in ("train", "val") for g in splits[s]]
-    )
-    mean, std = float(ys.mean()), float(ys.std(ddof=1))
-    std = max(std, 1e-8)
-    for s in splits.values():
-        for g in s:
-            g.y = ((g.y[:, args.target] - mean) / std)[:, None].astype(
-                np.float32
-            )
     print(f"data: {time.time() - t0:.1f}s mean={mean:.3f} std={std:.3f}")
 
     import jax
@@ -109,29 +142,57 @@ def main():
     )
 
     all_graphs = [g for s in splits.values() for g in s]
-    # uniform per-graph blocks + dedup ESC rows: the fast layout the
-    # flagship bench uses (einsum message passing on the MXU, z-emb
-    # reduce on unique histogram rows) — numerically equal to the
-    # width layout (tests/test_zemb_dedup.py, tests/test_model.py)
-    spec = BatchSpec.uniform(
-        all_graphs, args.batch_size, enc_layout="dedup"
-    )
+    if args.model == "NestedGIN_eff":
+        # uniform per-graph blocks + dedup ESC rows: the fast layout the
+        # flagship bench uses (einsum message passing on the MXU, z-emb
+        # reduce on unique histogram rows) — numerically equal to the
+        # width layout (tests/test_zemb_dedup.py, tests/test_model.py)
+        spec = BatchSpec.uniform(
+            all_graphs, args.batch_size, enc_layout="dedup"
+        )
+    else:
+        spec = BatchSpec.from_graphs(all_graphs, batch_size=args.batch_size)
     print("spec:", spec)
 
-    model = NestedGINEff(
-        NestedGINEffConfig(
-            hidden=args.hidden,
-            num_layers=args.layers,
-            dropout=0.0,
-            act="elu",
-            graph_pred=False,
-            use_x_embedding_jk=False,
-            head_order="dropout_act",
-            node_embed_vocab=100,
-            edge_embed_vocab=100,
-            out_dim=1,
+    if args.model == "GNN":
+        from escgnn_tpu.models.baselines import (
+            RGCNBaseline,
+            RGCNBaselineConfig,
         )
-    )
+
+        model = RGCNBaseline(RGCNBaselineConfig(
+            num_layers=args.layers, node_level=True,
+        ))
+    elif args.model == "NGNN":
+        from escgnn_tpu.models.ngnn import NGNN, NGNNConfig
+
+        model = NGNN(NGNNConfig(
+            num_layers=args.layers, hidden=args.hidden, use_rd=True,
+            node_level=True, out_dim=1,
+        ))
+    elif args.model == "I2GNN":
+        from escgnn_tpu.models.i2gnn import I2GNN, I2GNNConfig
+
+        model = I2GNN(I2GNNConfig(
+            num_layers=args.layers, hidden=args.hidden, use_rd=True,
+            subgraph2_pooling="mean-center-side", gate=True,
+            node_level=True, out_dim=1,
+        ))
+    else:
+        model = NestedGINEff(
+            NestedGINEffConfig(
+                hidden=args.hidden,
+                num_layers=args.layers,
+                dropout=0.0,
+                act="elu",
+                graph_pred=False,
+                use_x_embedding_jk=False,
+                head_order="dropout_act",
+                node_embed_vocab=100,
+                edge_embed_vocab=100,
+                out_dim=1,
+            )
+        )
     rng = jax.random.key(args.seed)
     init_b = jax.tree.map(
         jnp.asarray, next(batch_iterator(splits["train"][:2], spec))
@@ -141,9 +202,20 @@ def main():
         variables["params"], variables.get("batch_stats", {}),
         adam_with_plateau(args.lr),
     )
-    train_step = make_train_step(model, l1_node_loss)
+    if seg_level:
+        # predictions live on subgraph-copy rows (one per original node);
+        # targets ride in extras["y_seg"] masked by segment_mask
+        def loss_fn(out, batch):
+            err = jnp.abs(out - batch.extras["y_seg"])
+            m = batch.segment_mask.astype(err.dtype)[:, None]
+            return jnp.sum(err * m) / jnp.maximum(
+                jnp.sum(m) * err.shape[-1], 1.0
+            )
+    else:
+        loss_fn = l1_node_loss
+    train_step = make_train_step(model, loss_fn)
     if not args.reshuffle_membership:
-        pool_train_step = make_pool_train_step(model, l1_node_loss)
+        pool_train_step = make_pool_train_step(model, loss_fn)
     sched = PlateauScheduler(factor=args.lr_decay_factor,
                              patience=args.patience)
 
@@ -158,9 +230,31 @@ def main():
     val_stack = stack_split(splits["val"], spec)
     test_stack = stack_split(splits["test"], spec)
     refresh_stack = stack_split(splits["train"][: 8 * args.batch_size], spec)
-    eval_pool = make_pool_eval_step(
-        model, node_level=True, bn_mode=args.bn_eval
-    )
+    if seg_level:
+        @jax.jit
+        def eval_pool(params, batch_stats, stacked):
+            def body(acc, batch):
+                out = model.apply(
+                    {"params": params, "batch_stats": batch_stats},
+                    batch, deterministic=True, use_running_average=True,
+                )
+                m = batch.segment_mask
+                err = jnp.abs(out - batch.extras["y_seg"]) * m[:, None]
+                return (
+                    acc[0] + jnp.sum(err),
+                    acc[1] + jnp.sum(m) * out.shape[-1],
+                ), None
+
+            acc, _ = jax.lax.scan(
+                body,
+                (jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32)),
+                stacked,
+            )
+            return acc
+    else:
+        eval_pool = make_pool_eval_step(
+            model, node_level=True, bn_mode=args.bn_eval
+        )
     refresh_pool = make_pool_refresh_step(model)
 
     def evaluate(stacked):
