@@ -88,14 +88,18 @@ DEFAULTS = {
     "run_multiple_splits": [],
     "dataset": {
         # zinc | zinc-synthetic | count_cycle | count_graphlet |
-        # qm9-synthetic | mnist | cifar10 (superpixels) |
+        # qm9-synthetic | mnist | cifar10 (superpixels) | aqsol |
+        # vocsuperpixels | cocosuperpixels (LRGB node classification) |
         # peptides-func | peptides-struct (LRGB) |
-        # ogbg-molhiv | ogbg-molpcba | malnet-tiny
+        # ogbg-molhiv | ogbg-molpcba | ogbg-ppa | ogbg-code2 | malnet-tiny
         # (run_gps.build_dataset — the master_loader zoo)
         "name": "zinc-synthetic",
         "dir": "data",
         "num_graphs": 512,  # synthetic fallback size
-        "task": "regression",  # regression | classification | multilabel
+        # regression | classification | multilabel |
+        # node_classification (VOC/COCO, macro-F1) |
+        # sequence (code2 sub-token heads, F1)
+        "task": "regression",
         "target": 0,  # y column for counting / qm9
         "node_encoder": "embed",
         "edge_encoder": "embed",

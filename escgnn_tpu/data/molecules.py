@@ -181,3 +181,99 @@ def synthetic_ogb_mol(
             )
         )
     return out
+
+
+def synthetic_aqsol(num_graphs: int = 2000, seed: int = 0) -> list[GraphData]:
+    """AQSOL-shaped graphs (reference GraphGPS
+    `loader/dataset/aqsol_molecules.py`): ZINC-style int atom/bond types
+    (65 atom, 5 bond classes) with a structural pseudo-solubility target
+    — the aqueous-solubility regression row of the GPS zoo."""
+    rng = np.random.default_rng(seed + 7)
+    out = []
+    for _ in range(num_graphs):
+        n = int(rng.integers(10, 30))
+        ei = _molecule_skeleton(rng, n)
+        x = rng.integers(0, 65, n).astype(np.int32)[:, None]
+        ea = rng.integers(0, 5, ei.shape[1]).astype(np.int32)
+        tri = _num_triangles(n, ei)
+        deg = np.bincount(ei[1], minlength=n)
+        y = (
+            -0.08 * n
+            + 0.3 * tri
+            - 0.15 * float((x[:, 0] % 7).mean())
+            + 0.25 * float(deg.mean())
+        )
+        out.append(GraphData(
+            num_nodes=n, edge_index=ei, x=x,
+            edge_attr=ea.astype(np.int32),
+            y=np.asarray([y], np.float32),
+        ))
+    return out
+
+
+def aqsol_splits(
+    data_dir: str, num_graphs: int = 2000, seed: int = 0
+) -> tuple[dict, bool]:
+    """Real AQSOL splits when `<data_dir>/aqsol/<split>.pickle` artifacts
+    exist (the reference's per-split pickles); otherwise a deterministic
+    80/10/10 split of `synthetic_aqsol`. Returns (splits, is_real)."""
+    import os
+
+    names = {s: os.path.join(data_dir, "aqsol", f"{s}.pickle")
+             for s in ("train", "val", "test")}
+    if all(os.path.exists(p) for p in names.values()):
+        return {s: load_zinc_pickle(p) for s, p in names.items()}, True
+    raw = synthetic_aqsol(num_graphs=num_graphs, seed=seed)
+    n_tr, n_val = int(0.8 * len(raw)), int(0.1 * len(raw))
+    return {
+        "train": raw[:n_tr],
+        "val": raw[n_tr:n_tr + n_val],
+        "test": raw[n_tr + n_val:],
+    }, False
+
+
+def synthetic_ppa(
+    num_graphs: int = 2000, seed: int = 0, num_classes: int = 37
+) -> list[GraphData]:
+    """ogbg-ppa-shaped graphs (reference `run_ogb_mol.py:352`, GraphGPS
+    `encoder/ppa_encoder.py`): NO node features (x = zeros -> uniform
+    embedding), 7-dim float edge features, one of 37 species classes.
+    The class is tied to graph statistics so models can learn it."""
+    rng = np.random.default_rng(seed + 11)
+    out = []
+    for _ in range(num_graphs):
+        n = int(rng.integers(15, 40))
+        # denser association-network-like topology
+        p = rng.uniform(0.12, 0.3)
+        upper = np.triu(rng.random((n, n)) < p, k=1)
+        order = rng.permutation(n)
+        upper[np.minimum(order[:-1], order[1:]),
+              np.maximum(order[:-1], order[1:])] = True
+        a, b = np.nonzero(upper)
+        ei = np.stack([np.concatenate([a, b]), np.concatenate([b, a])]
+                      ).astype(np.int32)
+        ea = rng.random((ei.shape[1], 7)).astype(np.float32)
+        tri = _num_triangles(n, ei)
+        cls = int((n // 3 + tri + int(ea.mean() * 10)) % num_classes)
+        out.append(GraphData(
+            num_nodes=n, edge_index=ei,
+            x=np.zeros((n, 1), np.int32),
+            edge_attr=ea,
+            y=np.asarray([cls], np.int64),
+        ))
+    return out
+
+
+def ppa_splits(
+    data_dir: str, num_graphs: int = 2000, seed: int = 0
+) -> tuple[dict, bool]:
+    """ogbg-ppa splits: the real loader needs the `ogb` package (absent
+    in this env — same caveat as molhiv/molpcba); the synthetic generator
+    exercises the full pipeline. Returns (splits, is_real)."""
+    raw = synthetic_ppa(num_graphs=num_graphs, seed=seed)
+    n_tr, n_val = int(0.8 * len(raw)), int(0.1 * len(raw))
+    return {
+        "train": raw[:n_tr],
+        "val": raw[n_tr:n_tr + n_val],
+        "test": raw[n_tr + n_val:],
+    }, False

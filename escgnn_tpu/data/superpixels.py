@@ -178,3 +178,80 @@ def superpixel_splits(
         "val": raw[n_tr:n_tr + n_val],
         "test": raw[n_tr + n_val:],
     }, False
+
+
+VOC_NUM_CLASSES = 21
+COCO_NUM_CLASSES = 81
+
+
+def synthetic_voc_coco(
+    name: str, num_graphs: int = 300, seed: int = 0
+) -> list[GraphData]:
+    """VOC/COCO-superpixel-shaped graphs (reference GraphGPS
+    `loader/dataset/{voc,coco}_superpixels.py`): larger region-boundary
+    graphs with a per-NODE semantic class — the LRGB node-classification
+    rows. x = 12 floats (RGB mean/std + centroid stats, the
+    edge_wt_region_boundary feature layout), edge_attr = 2 floats,
+    y = (n,) int class in [0, 21) / [0, 81). Labels are spatially
+    correlated blobs so segmentation is learnable."""
+    C = VOC_NUM_CLASSES if name.lower().startswith("voc") else \
+        COCO_NUM_CLASSES
+    rng = np.random.default_rng(seed + (0 if C == VOC_NUM_CLASSES else 1))
+    out = []
+    for _ in range(num_graphs):
+        n = int(rng.integers(60, 140))
+        cent = rng.random((n, 2)).astype(np.float32)
+        # kNN graph over centroids (region-boundary stand-in)
+        d2 = ((cent[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+        np.fill_diagonal(d2, np.inf)
+        k = 8
+        nbr = np.argsort(d2, axis=1)[:, :k]
+        a = np.repeat(np.arange(n), k)
+        b = nbr.reshape(-1)
+        ei = np.unique(
+            np.sort(np.stack([a, b]), axis=0), axis=1
+        )
+        ei = np.concatenate([ei, ei[::-1]], axis=1).astype(np.int32)
+        # labels: a few random class "blobs" + background 0
+        y = np.zeros(n, np.int64)
+        for _ in range(int(rng.integers(1, 4))):
+            c = int(rng.integers(1, C))
+            center = rng.random(2)
+            radius = rng.uniform(0.15, 0.35)
+            y[((cent - center) ** 2).sum(-1) < radius ** 2] = c
+        # features: class-correlated "color" + noise + centroid stats
+        base = rng.random((C, 6)).astype(np.float32)
+        x = np.concatenate([
+            base[y] + 0.1 * rng.normal(size=(n, 6)).astype(np.float32),
+            cent,
+            np.tile(cent.mean(0), (n, 1)).astype(np.float32),
+            np.tile(cent.std(0), (n, 1)).astype(np.float32),
+        ], axis=1).astype(np.float32)  # (n, 12)
+        w = np.exp(-d2[ei[0], ei[1]] / 0.05).astype(np.float32)
+        ea = np.stack([w, np.sqrt(d2[ei[0], ei[1]]).astype(np.float32)], 1)
+        out.append(GraphData(
+            num_nodes=n, edge_index=ei, x=x, edge_attr=ea,
+            y=y[:, None].astype(np.float32),
+        ))
+    return out
+
+
+def voc_coco_splits(
+    data_dir: str, name: str, num_graphs: int = 300, seed: int = 0
+) -> tuple[dict, bool]:
+    """Real splits when `<data_dir>/superpixels/<NAME>.pkl` exists;
+    otherwise a deterministic 80/10/10 split of the synthetic generator.
+    Returns (splits, is_real)."""
+    cand = os.path.join(data_dir, "superpixels", f"{name.upper()}.pkl")
+    if os.path.exists(cand):
+        return load_superpixel_pickle(cand), True
+    raw = synthetic_voc_coco(name, num_graphs=num_graphs, seed=seed)
+    rng = np.random.default_rng(seed)
+    order = rng.permutation(len(raw))
+    raw = [raw[i] for i in order]
+    n_tr, n_val = int(0.8 * len(raw)), int(0.1 * len(raw))
+    return {
+        "train": raw[:n_tr],
+        "val": raw[n_tr:n_tr + n_val],
+        "test": raw[n_tr + n_val:],
+    }, False

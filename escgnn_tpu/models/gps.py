@@ -67,8 +67,12 @@ class GPSConfig:
     # embed = int vocab (first column); linear = Dense on float features;
     # none (edges only) = learned constant edge embedding;
     # ogb_atom/ogb_bond = per-column embedding sums over the OGB vocabs
-    node_encoder_kind: str = "embed"  # embed | linear | ogb_atom
+    # embed | linear | ogb_atom | ppa_uniform | ast
+    node_encoder_kind: str = "embed"
     edge_encoder_kind: str = "embed"  # embed | linear | none | ogb_bond
+    # AST encoder vocab sizes (ogbg-code2, encoder/ast_encoder.py)
+    ast_type_vocab: int = 100
+    ast_depth_vocab: int = 21
     # SAN global attention (global_model="san"): fake-edge weight gamma
     # and whether the complement term is used at all
     san_gamma: float = 1e-5
@@ -475,6 +479,29 @@ class GPSModel(nn.Module):
             h = TorchDense(D, name="node_encoder")(
                 batch.x.astype(jnp.float32)
             )
+        elif cfg.node_encoder_kind == "ppa_uniform":
+            # ogbg-ppa has no node features: one learned embedding row
+            # for every node (reference `encoder/ppa_encoder.py`:
+            # Embedding(1, emb_dim) on x = zeros)
+            h = jnp.broadcast_to(
+                self.param(
+                    "node_const", nn.initializers.normal(1.0), (D,)
+                ),
+                (batch.num_nodes, D),
+            )
+        elif cfg.node_encoder_kind == "ast":
+            # ogbg-code2 AST nodes: type embedding + depth embedding
+            # (reference `encoder/ast_encoder.py` ASTNodeEncoder)
+            xi = batch.x.astype(jnp.int32)
+            h = nn.Embed(
+                cfg.ast_type_vocab, D,
+                embedding_init=nn.initializers.normal(1.0),
+                name="ast_type_encoder",
+            )(xi[:, 0]) + nn.Embed(
+                cfg.ast_depth_vocab, D,
+                embedding_init=nn.initializers.normal(1.0),
+                name="ast_depth_encoder",
+            )(jnp.clip(xi[:, 1], 0, cfg.ast_depth_vocab - 1))
         elif cfg.node_encoder_kind == "ogb_atom":
             # OGB 9-column categorical atom features: sum of per-column
             # embeddings (the AtomEncoder the reference injects for OGB

@@ -107,6 +107,35 @@ def ce_graph_loss(out: jax.Array, batch: GraphBatch) -> jax.Array:
     return jnp.sum(nll * m) / jnp.maximum(jnp.sum(m), 1.0)
 
 
+def ce_node_loss(out: jax.Array, batch: GraphBatch) -> jax.Array:
+    """Masked softmax cross-entropy over real NODES (the VOC/COCO
+    superpixel node-classification task shape, reference GraphGPS
+    `loader/dataset/voc_superpixels.py`)."""
+    labels = batch.y.reshape(-1).astype(jnp.int32)
+    logp = jax.nn.log_softmax(out, axis=-1)
+    nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+    m = batch.node_mask.astype(nll.dtype)
+    return jnp.sum(nll * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+
+def make_sequence_ce_loss(seq_len: int, vocab: int):
+    """Masked mean cross-entropy over `seq_len` token positions (the
+    ogbg-code2 task shape: y (G, L) int token ids incl. EOS padding,
+    logits (G, L * vocab); reference GraphGPS trains one linear head per
+    position — `encode_y_to_arr`, `master_loader.py:411-434`)."""
+
+    def loss(out: jax.Array, batch: GraphBatch) -> jax.Array:
+        G = out.shape[0]
+        logits = out.reshape(G, seq_len, vocab)
+        labels = batch.y.reshape(G, seq_len).astype(jnp.int32)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(logp, labels[:, :, None], axis=-1)[..., 0]
+        m = batch.graph_mask.astype(nll.dtype)[:, None]
+        return jnp.sum(nll * m) / jnp.maximum(jnp.sum(m) * seq_len, 1.0)
+
+    return loss
+
+
 def bce_graph_loss(out: jax.Array, batch: GraphBatch) -> jax.Array:
     """Masked sigmoid BCE over real graphs (multilabel classification —
     the peptides-func / ogbg-mol task shape). NaN label entries are

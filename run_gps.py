@@ -127,6 +127,38 @@ def build_dataset(cfg, seed: int):
             num_tasks=cfg.model.out_dim,
             nan_frac=0.25 if d.name == "ogbg-molpcba" else 0.0,
         ))
+    elif d.name == "aqsol":
+        from escgnn_tpu.data.molecules import aqsol_splits
+
+        raw_splits, is_real = aqsol_splits(
+            d.dir, num_graphs=d.num_graphs, seed=seed
+        )
+        print(f"aqsol: real={is_real}")
+    elif d.name in ("vocsuperpixels", "cocosuperpixels"):
+        # LRGB node-classification rows (21/81 classes; reference
+        # loader/dataset/{voc,coco}_superpixels.py)
+        from escgnn_tpu.data.superpixels import voc_coco_splits
+
+        raw_splits, is_real = voc_coco_splits(
+            d.dir, d.name, num_graphs=d.num_graphs, seed=seed
+        )
+        print(f"{d.name}: real={is_real}")
+    elif d.name == "ogbg-ppa":
+        # species classification, featureless nodes + 7-dim float edges
+        # (reference run_ogb_mol.py:352, encoder/ppa_encoder.py)
+        from escgnn_tpu.data.molecules import ppa_splits
+
+        raw_splits, is_real = ppa_splits(
+            d.dir, num_graphs=d.num_graphs, seed=seed
+        )
+    elif d.name == "ogbg-code2":
+        # AST sub-token sequence prediction (reference
+        # master_loader.py:411-434 + encoder/ast_encoder.py)
+        from escgnn_tpu.data.code2 import code2_splits
+
+        raw_splits, is_real = code2_splits(
+            d.dir, num_graphs=d.num_graphs, seed=seed
+        )
     elif d.name == "malnet-tiny":
         from escgnn_tpu.data.malnet import malnet_splits
 
@@ -176,8 +208,9 @@ def build_dataset(cfg, seed: int):
 
         splits, mean, std = normalize_targets(splits, d.target)
         return splits, mean, std
-    if d.task in ("classification", "multilabel"):
-        # class labels / binary labels are never standardized
+    if d.task in ("classification", "multilabel", "node_classification",
+                  "sequence"):
+        # class labels / binary labels / token ids are never standardized
         return splits, 0.0, 1.0
     if d.name == "qm9-synthetic":
         width = len(splits["train"][0].y)
@@ -314,26 +347,69 @@ def run_one(cfg, seed: int, out_dir: str) -> dict:
         loss_fn = ce_graph_loss
     elif task == "multilabel":
         loss_fn = bce_graph_loss
+    elif task == "node_classification":
+        from escgnn_tpu.train.loop import ce_node_loss
+
+        loss_fn = ce_node_loss
+    elif task == "sequence":
+        from escgnn_tpu.data.code2 import MAX_SEQ_LEN, NUM_VOCAB
+        from escgnn_tpu.train.loop import make_sequence_ce_loss
+
+        seq_vocab = NUM_VOCAB + 2  # + EOS + UNK
+        assert cfg.model.out_dim == MAX_SEQ_LEN * seq_vocab, (
+            f"sequence task needs model.out_dim = "
+            f"{MAX_SEQ_LEN * seq_vocab} (L * vocab)"
+        )
+        loss_fn = make_sequence_ce_loss(MAX_SEQ_LEN, seq_vocab)
     else:
         loss_fn = l1_node_loss if node_level else l1_graph_loss
     pool_train_step = make_pool_train_step(model, loss_fn)
     eval_pool = make_pool_eval_step(model, node_level=node_level)
     logits_pool = make_pool_logits_step(model)
+    if task == "node_classification":
+        # node-level logits/labels/mask in one dispatch (the graph-level
+        # make_pool_logits_step returns graph_mask)
+        @jax.jit
+        def node_logits_pool(params, batch_stats, stacked):
+            def body(_, batch):
+                out = model.apply(
+                    {"params": params, "batch_stats": batch_stats},
+                    batch, deterministic=True, use_running_average=True,
+                )
+                return None, (out, batch.y, batch.node_mask)
+
+            _, outs = jax.lax.scan(body, None, stacked)
+            return outs
     refresh_pool = make_pool_refresh_step(model)
     # classification: accuracy; multilabel: macro AP (the LRGB
     # peptides-func / molpcba metric) or ROC-AUC when cfg.metric == auc
-    # (molhiv) — all higher-is-better
-    higher_better = task in ("classification", "multilabel")
+    # (molhiv); node_classification: macro-F1 (the LRGB VOC/COCO
+    # metric); sequence: sub-token F1 (OGB code2) — all higher-is-better
+    higher_better = task in ("classification", "multilabel",
+                             "node_classification", "sequence")
     use_auc = task == "multilabel" and cfg.metric == "auc"
     metric_name = {
         "classification": "acc",
         "multilabel": "AUC" if use_auc else "AP",
+        "node_classification": "F1",
+        "sequence": "F1",
     }.get(task, "MAE")
 
     def evaluate_stack(stacked):
         if task == "regression":
             e, c = eval_pool(state.params, state.batch_stats, stacked)
             return float(e) / max(float(c), 1.0)
+        if task == "node_classification":
+            outs, ys, masks = jax.tree.map(
+                np.asarray,
+                node_logits_pool(state.params, state.batch_stats, stacked),
+            )
+            m = masks.reshape(-1).astype(bool)
+            pred = outs.reshape(-1, outs.shape[-1])[m].argmax(-1)
+            y = ys.reshape(-1)[m].astype(np.int64)
+            from sklearn.metrics import f1_score
+
+            return float(f1_score(y, pred, average="macro"))
         outs, ys, masks = jax.tree.map(
             np.asarray,
             logits_pool(state.params, state.batch_stats, stacked),
@@ -343,6 +419,15 @@ def run_one(cfg, seed: int, out_dir: str) -> dict:
         y = ys.reshape(-1, ys.shape[-1])[m]
         if task == "classification":
             return float((out.argmax(-1) == y.reshape(-1)).mean())
+        if task == "sequence":
+            from escgnn_tpu.data.code2 import (
+                MAX_SEQ_LEN,
+                NUM_VOCAB,
+                subtoken_f1,
+            )
+
+            pred = out.reshape(-1, MAX_SEQ_LEN, NUM_VOCAB + 2).argmax(-1)
+            return subtoken_f1(pred, y.astype(np.int64))
         from escgnn_tpu.train.metrics import average_precision, rocauc
 
         v = (rocauc if use_auc else average_precision)(y, out)

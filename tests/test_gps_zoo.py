@@ -204,3 +204,54 @@ def test_bce_graph_loss_masks_padding():
     l2 = bce_graph_loss(logits_junk, b)
     np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
     np.testing.assert_allclose(float(l1), np.log(2.0), rtol=1e-5)
+
+
+def test_gps_aqsol_end_to_end(tmp_path):
+    import run_gps
+
+    cfg = _tiny_cfg(tmp_path, "aqsol", "regression", 1, "embed", "embed")
+    res = run_gps.run_one(cfg, seed=0, out_dir=str(tmp_path / "out"))
+    assert np.isfinite(res["best_val_mae"])
+
+
+def test_gps_voc_node_classification_end_to_end(tmp_path):
+    import run_gps
+
+    cfg = _tiny_cfg(tmp_path, "vocsuperpixels", "node_classification", 21,
+                    "linear", "linear")
+    cfg.model.graph_pred = False
+    res = run_gps.run_one(cfg, seed=0, out_dir=str(tmp_path / "out"))
+    assert 0.0 <= res["best_val_f1"] <= 1.0
+    assert 0.0 <= res["best_test_f1"] <= 1.0
+
+
+def test_gps_ppa_end_to_end(tmp_path):
+    import run_gps
+
+    cfg = _tiny_cfg(tmp_path, "ogbg-ppa", "classification", 37,
+                    "ppa_uniform", "linear")
+    res = run_gps.run_one(cfg, seed=0, out_dir=str(tmp_path / "out"))
+    assert 0.0 <= res["best_val_acc"] <= 1.0
+
+
+def test_gps_code2_sequence_end_to_end(tmp_path):
+    import run_gps
+    from escgnn_tpu.data.code2 import MAX_SEQ_LEN, NUM_VOCAB
+
+    cfg = _tiny_cfg(tmp_path, "ogbg-code2", "sequence",
+                    MAX_SEQ_LEN * (NUM_VOCAB + 2), "ast", "embed")
+    res = run_gps.run_one(cfg, seed=0, out_dir=str(tmp_path / "out"))
+    assert 0.0 <= res["best_val_f1"] <= 1.0
+
+
+def test_subtoken_f1_golden():
+    from escgnn_tpu.data.code2 import eos_id, subtoken_f1
+
+    E = eos_id()
+    # exact match, partial overlap, empty-vs-empty, disjoint
+    pred = np.asarray([[1, 2, E, E, E], [1, 3, E, E, E],
+                       [E, E, E, E, E], [5, E, E, E, E]])
+    true = np.asarray([[1, 2, E, E, E], [1, 2, E, E, E],
+                       [E, E, E, E, E], [7, E, E, E, E]])
+    got = subtoken_f1(pred, true)
+    np.testing.assert_allclose(got, (1.0 + 0.5 + 1.0 + 0.0) / 4)
