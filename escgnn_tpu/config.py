@@ -116,8 +116,12 @@ DEFAULTS = {
         "dropout": 0.0,
         "attn_dropout": 0.0,
         "local_model": "gine",  # gine | gatedgcn | pna
-        "global_model": "transformer",  # transformer | linear | bigbird | san
+        # transformer | linear | performer (FAVOR+) | bigbird | san |
+        # san2 | graphormer
+        "global_model": "transformer",
         "san_gamma": 1e-5,
+        "performer_features": 64,
+        "use_equivstable_pe": False,
         "pna_towers": 4,
         "avg_deg_log": 0.0,  # 0 -> computed from the train split (pna)
         "bigbird_window": 3,
@@ -157,6 +161,16 @@ DEFAULTS = {
     },
     "metric": "mae",  # mae | accuracy | ap | auc (auc: multilabel ROC-AUC)
     "num_runs": 1,  # multi-seed aggregation (reference main.py:270)
+    # finetune from a pretrained checkpoint (reference
+    # GraphGPS/graphgps/config/pretrained_config.py + the loading logic
+    # in main.py/custom_train): restore params from `dir`'s checkpoint,
+    # optionally re-initialize the prediction head, optionally freeze
+    # everything except the head
+    "pretrained": {
+        "dir": "",
+        "reset_prediction_head": True,
+        "freeze_main": False,
+    },
 }
 
 

@@ -77,6 +77,17 @@ class GPSConfig:
     # and whether the complement term is used at all
     san_gamma: float = 1e-5
     san_full_graph: bool = True
+    # FAVOR+ Performer (global_model="performer"): number of random
+    # features of the positive softmax-kernel map (Choromanski et al.;
+    # reference layer/performer_layer.py). "linear" remains the elu+1
+    # linear-attention stand-in.
+    performer_features: int = 64
+    # EquivStableLapPE (reference encoder/equivstable_laplace_pos_encoder
+    # .py + gatedgcn_layer.py:99-106): encode raw Laplacian eigvecs to a
+    # d-dim PE and scale every GatedGCN message gate by
+    # sigmoid(MLP(||pe_i - pe_j||^2)) — requires local_model="gatedgcn"
+    # and extras["lap_pe"]
+    use_equivstable_pe: bool = False
     degree_vocab: int = 64
     node_vocab: int = 100
     edge_vocab: int = 100
@@ -304,12 +315,17 @@ class GatedGCNConv(nn.Module):
     local-model option, `gps_layer.py:60-75`):
       e'_ij = A x_i + B x_j + C e_ij;  gate = sigmoid(e'_ij)
       h'_i = U x_i + sum_j gate ⊙ (V x_j) / (sum_j gate + eps)
-    Returns (h', e') — the edge state threads through the layers."""
+    Returns (h', e') — the edge state threads through the layers.
+
+    `pe` (optional, (N, F)): EquivStableLapPE message stabilization
+    (reference `gatedgcn_layer.py:99-106`): gate *=
+    sigmoid(MLP(||pe_i - pe_j||^2))."""
 
     features: int
 
     @nn.compact
-    def __call__(self, x, senders, receivers, edge_attr, edge_mask):
+    def __call__(self, x, senders, receivers, edge_attr, edge_mask,
+                 pe=None):
         n = x.shape[0]
         D = self.features
         e = (
@@ -318,6 +334,15 @@ class GatedGCNConv(nn.Module):
             + TorchDense(D, name="C")(edge_attr)
         )
         gate = jax.nn.sigmoid(e) * edge_mask[:, None]
+        if pe is not None:
+            r = jnp.sum(
+                (jnp.take(pe, receivers, axis=0)
+                 - jnp.take(pe, senders, axis=0)) ** 2,
+                axis=-1, keepdims=True,
+            )
+            r = TorchDense(D, name="r_mlp1")(r)
+            r = jax.nn.sigmoid(TorchDense(1, name="r_mlp2")(nn.relu(r)))
+            gate = gate * r
         v = TorchDense(D, name="V")(x)
         num = segment_sum(
             gate * jnp.take(v, senders, axis=0), receivers, n,
@@ -364,6 +389,199 @@ class LinearAttention(nn.Module):
         return TorchDense(D, name="out")(out)
 
 
+def _favor_projection(num_features: int, head_dim: int) -> jnp.ndarray:
+    """Orthogonal random-feature matrix of FAVOR+ (blocks of QR'd
+    Gaussians with chi-distributed row norms). Derived from a FIXED key:
+    the features are non-trainable constants, so the map is identical
+    every call (the reference redraws periodically; a fixed draw is the
+    deterministic special case)."""
+    key = jax.random.key(0x5EED)
+    blocks = []
+    remaining = num_features
+    i = 0
+    while remaining > 0:
+        g = jax.random.normal(
+            jax.random.fold_in(key, i), (head_dim, head_dim)
+        )
+        q, _ = jnp.linalg.qr(g)
+        blocks.append(q.T[: min(remaining, head_dim)])
+        remaining -= head_dim
+        i += 1
+    W = jnp.concatenate(blocks, axis=0)  # (m, hd)
+    norms = jnp.sqrt(jax.random.chisquare(
+        jax.random.fold_in(key, 999), head_dim, (W.shape[0],)
+    ))
+    return W * norms[:, None]
+
+
+class FavorAttention(nn.Module):
+    """FAVOR+ Performer attention (Choromanski et al.; the reference's
+    true Performer option, `layer/performer_layer.py`): the softmax
+    kernel exp(q·k/sqrt(d)) is estimated with positive orthogonal random
+    features phi(x) = exp(W x' - ||x'||^2/2 - c)/sqrt(m) (x' = x/d^{1/4},
+    c a per-row stabilizer), giving O(N m d) attention via the same
+    per-graph prefix sums as linear attention — no (M, M) logits."""
+
+    dim_h: int
+    num_heads: int
+    num_features: int = 64
+
+    @nn.compact
+    def __call__(self, h, batch: GraphBatch, *, deterministic: bool):
+        D, Hh = self.dim_h, self.num_heads
+        hd = D // Hh
+        n = h.shape[0]
+        G = batch.num_graphs
+        q = TorchDense(D, name="q")(h).reshape(n, Hh, hd)
+        k = TorchDense(D, name="k")(h).reshape(n, Hh, hd)
+        v = TorchDense(D, name="v")(h).reshape(n, Hh, hd)
+        W = _favor_projection(self.num_features, hd)  # (m, hd)
+        scale = 1.0 / jnp.sqrt(jnp.sqrt(float(hd)))
+        qs, ks = q * scale, k * scale
+
+        def phi(x, stab):
+            wx = jnp.einsum("nhd,md->nhm", x, W)
+            sq = 0.5 * jnp.sum(x * x, axis=-1, keepdims=True)
+            return jnp.exp(wx - sq - stab) / jnp.sqrt(float(W.shape[0]))
+
+        # per-row stabilizers keep the exponentials bounded; they cancel
+        # in the normalized attention (num and den share the q factor,
+        # and the k stabilizer is per-graph constant after masking)
+        q_stab = jnp.max(
+            jnp.einsum("nhd,md->nhm", qs, W), axis=-1, keepdims=True
+        )
+        k_stab = jnp.max(jnp.einsum("nhd,md->nhm", ks, W))
+        qf = phi(qs, q_stab)
+        kf = phi(ks, k_stab) * batch.node_mask[:, None, None]
+        m = W.shape[0]
+        kv = segment_sum(
+            (kf[:, :, :, None] * v[:, :, None, :]).reshape(n, -1),
+            batch.node_graph, G, mask=batch.node_mask,
+        ).reshape(G, Hh, m, hd)
+        ksum = segment_sum(
+            kf.reshape(n, -1), batch.node_graph, G, mask=batch.node_mask
+        ).reshape(G, Hh, m)
+        kv_n = jnp.take(kv, batch.node_graph, axis=0)
+        ks_n = jnp.take(ksum, batch.node_graph, axis=0)
+        num = jnp.einsum("nhm,nhmd->nhd", qf, kv_n)
+        den = jnp.maximum(jnp.einsum("nhm,nhm->nh", qf, ks_n), 1e-9)
+        out = (num / den[..., None]).reshape(n, D)
+        return TorchDense(D, name="out")(out)
+
+
+class SAN2Attention(nn.Module):
+    """SAN2 multi-head attention (reference `layer/san2_layer.py`):
+    unlike SAN, real- and fake-edge scores are softmax-NORMALIZED per
+    destination separately (score minus per-destination max, exp,
+    divide by per-destination sum), mixed with a LEARNABLE scalar gamma
+    (init 0.5) as 1/(gamma+1) real + gamma/(gamma+1) fake, and the
+    output is wV directly (no joint Z). Fake edges run on the dense
+    (G, M, M) complement grid with static masks (same TPU design as
+    SANAttention)."""
+
+    dim_h: int
+    num_heads: int
+    full_graph: bool = True
+
+    @nn.compact
+    def __call__(self, h, edge_attr, batch: GraphBatch, *,
+                 deterministic: bool):
+        from escgnn_tpu.ops.segment import segment_softmax
+
+        G = batch.num_graphs
+        D, Hh = self.dim_h, self.num_heads
+        hd = D // Hh
+        N = h.shape[0]
+        gamma = self.param(
+            "gamma", lambda *_: jnp.asarray(0.5, jnp.float32), ()
+        )
+
+        def proj(name):
+            return TorchDense(D, name=name)
+
+        q = proj("q")(h).reshape(N, Hh, hd)
+        k = proj("k")(h).reshape(N, Hh, hd)
+        v = proj("v")(h).reshape(N, Hh, hd)
+        e = proj("e")(edge_attr).reshape(-1, Hh, hd)
+
+        s = jnp.sum(
+            jnp.take(k, batch.senders, axis=0)
+            * jnp.take(q, batch.receivers, axis=0) * e,
+            axis=-1,
+        ) / jnp.sqrt(float(hd))  # (E, Hh)
+        # per-destination softmax over incoming REAL edges
+        attn = segment_softmax(
+            s, batch.receivers, N, mask=batch.edge_mask,
+            indices_are_sorted=True,
+        )
+        wV = segment_sum(
+            (jnp.take(v, batch.senders, axis=0)
+             * attn[..., None]).reshape(-1, Hh * hd),
+            batch.receivers, N, mask=batch.edge_mask,
+            indices_are_sorted=True,
+        ).reshape(N, Hh, hd)
+
+        if self.full_graph:
+            ex = batch.extras or {}
+            if "attn_bias" in ex:
+                M = ex["attn_bias"].shape[1]
+            elif "dense_m" in ex:
+                M = int(ex["dense_m"])
+            elif batch.nodes_per_graph:
+                M = int(batch.nodes_per_graph)
+            else:
+                M = max(-(-N // max(G, 1)), 1)
+            q2 = proj("q2")(h).reshape(N, Hh, hd)
+            k2 = proj("k2")(h).reshape(N, Hh, hd)
+            fake = self.param(
+                "fake_edge_emb", nn.initializers.normal(1.0), (D,)
+            )
+            e2 = proj("e2")(fake).reshape(Hh, hd)
+
+            def dense(x):
+                out = jnp.zeros((G, M, Hh, hd), x.dtype)
+                return out.at[batch.node_graph, batch.node_local].set(
+                    jnp.where(batch.node_mask[:, None, None], x, 0.0)
+                )
+
+            dq2, dk2, dv = dense(q2), dense(k2), dense(v)
+            s2 = jnp.einsum(
+                "gmhd,gnhd,hd->ghmn", dk2, dq2, e2,
+                preferred_element_type=jnp.float32,
+            ) / jnp.sqrt(float(hd))
+            nmask = jnp.zeros((G, M), bool).at[
+                batch.node_graph, batch.node_local
+            ].set(batch.node_mask)
+            pair = nmask[:, :, None] & nmask[:, None, :]
+            pair &= ~jnp.eye(M, dtype=bool)[None]
+            e_g = jnp.take(batch.node_graph, batch.receivers)
+            src_l = jnp.take(batch.node_local, batch.senders)
+            dst_l = jnp.take(batch.node_local, batch.receivers)
+            real = jnp.zeros((G, M, M), bool).at[e_g, src_l, dst_l].set(
+                batch.edge_mask
+            )
+            fmask = (pair & ~real)[:, None]  # (G, 1, M src, M dst)
+            # per-destination softmax over FAKE sources (axis 2 = src).
+            # Finite fill instead of -inf: a destination whose every pair
+            # is real has an EMPTY fake set, and -inf - -inf = NaN would
+            # poison gradients through the where
+            neg = jnp.finfo(jnp.float32).min
+            s2m = jnp.where(fmask, s2, neg)
+            mx = jnp.max(s2m, axis=2, keepdims=True)
+            mx = jnp.where(mx <= neg, 0.0, mx)
+            # exp on the FILLED scores: a masked entry can exceed the
+            # fake-only max, and exp would overflow before the where
+            s2 = jnp.where(fmask, jnp.exp(s2m - mx), 0.0)
+            s2 = s2 / (jnp.sum(s2, axis=2, keepdims=True) + 1e-16)
+            wV2 = jnp.einsum(
+                "ghmn,gmhd->gnhd", s2, dv,
+                preferred_element_type=jnp.float32,
+            )[batch.node_graph, batch.node_local]
+            wV = wV / (gamma + 1.0) + wV2 * (gamma / (gamma + 1.0))
+
+        return wV.reshape(N, D)
+
+
 class GPSLayer(nn.Module):
     cfg: GPSConfig
 
@@ -377,6 +595,24 @@ class GPSLayer(nn.Module):
         kw = dict(
             deterministic=deterministic, use_running_average=use_running_average
         )
+
+        if cfg.global_model == "graphormer":
+            # Graphormer v1 block (reference layer/graphormer_layer.py):
+            # pre-LN MHA with the SPD spatial bias (+ degree encoder at
+            # the model input), then LN -> Linear -> GELU -> Dropout ->
+            # Linear residual MLP. No local MPNN — the whole layer is the
+            # transformer block.
+            x = nn.LayerNorm(name="input_norm")(h)
+            x = DenseAttention(
+                D, cfg.num_heads, True, cfg.spd_vocab, name="self_attn"
+            )(x, batch, deterministic=deterministic)
+            x = nn.Dropout(cfg.dropout, deterministic=deterministic)(x) + h
+            ff = nn.LayerNorm(name="mlp_norm")(x)
+            ff = nn.gelu(TorchDense(D, name="mlp_1")(ff))
+            ff = nn.Dropout(cfg.dropout, deterministic=deterministic)(ff)
+            ff = TorchDense(D, name="mlp_2")(ff)
+            ff = nn.Dropout(cfg.dropout, deterministic=deterministic)(ff)
+            return x + ff, edge_attr
 
         # ESC structural encoding added to the edge features each layer
         if cfg.use_esc and (batch.enc_idx is not None or batch.enc_flat_idx is not None):
@@ -392,8 +628,16 @@ class GPSLayer(nn.Module):
 
         # local MPNN (gine | gatedgcn | pna — reference gps_layer.py local zoo)
         if cfg.local_model == "gatedgcn":
+            es_pe = None
+            if cfg.use_equivstable_pe:
+                es_pe = (batch.extras or {}).get("equivstable_pe")
+                assert es_pe is not None, (
+                    "use_equivstable_pe needs the encoded lap_pe "
+                    "(GPSModel attaches extras['equivstable_pe'])"
+                )
             h_local, edge_attr = GatedGCNConv(D, name="local_gatedgcn")(
-                h, batch.senders, batch.receivers, edge_attr, batch.edge_mask
+                h, batch.senders, batch.receivers, edge_attr,
+                batch.edge_mask, pe=es_pe,
             )
         elif cfg.local_model == "pna":
             from escgnn_tpu.models.baselines import PNAConv
@@ -425,6 +669,16 @@ class GPSLayer(nn.Module):
             h_attn = LinearAttention(
                 D, cfg.num_heads, name="self_attn"
             )(h, batch, deterministic=deterministic)
+        elif cfg.global_model == "performer":
+            h_attn = FavorAttention(
+                D, cfg.num_heads, num_features=cfg.performer_features,
+                name="self_attn",
+            )(h, batch, deterministic=deterministic)
+        elif cfg.global_model == "san2":
+            h_attn = SAN2Attention(
+                D, cfg.num_heads, full_graph=cfg.san_full_graph,
+                name="self_attn",
+            )(h, edge_attr, batch, deterministic=deterministic)
         elif cfg.global_model == "san":
             h_attn = SANAttention(
                 D, cfg.num_heads, gamma=cfg.san_gamma,
@@ -550,6 +804,14 @@ class GPSModel(nn.Module):
                 embedding_init=nn.initializers.normal(0.02),
                 name="degree_encoder",
             )(ex["degree"].astype(jnp.int32).reshape(-1))
+        if cfg.use_equivstable_pe:
+            # EquivStableLapPE (reference equivstable_laplace_pos_encoder
+            # .py): linear-encode the raw eigvecs; the GatedGCN local
+            # model reads it per layer for message stabilization
+            es = TorchDense(D, name="equivstable_pe_encoder")(
+                ex["lap_pe"].astype(jnp.float32)
+            )
+            batch = batch.replace(extras={**ex, "equivstable_pe": es})
         if cfg.edge_encoder_kind == "none":
             # edge-featureless datasets (counting): one learned embedding
             edge_attr = jnp.broadcast_to(

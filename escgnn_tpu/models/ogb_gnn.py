@@ -64,9 +64,14 @@ class FeatureSumEncoder(nn.Module):
 
 
 class GINConvEff(nn.Module):
-    """GIN conv with Bond + structural edge embeddings (see module doc)."""
+    """GIN conv with Bond + structural edge embeddings (see module doc).
+
+    `float_edge_attr`: linear encoder on continuous edge features
+    (ogbg-ppa's 7-dim floats, reference PPAEdgeEncoder) instead of the
+    per-column bond-vocabulary embedding sum."""
 
     emb_dim: int
+    float_edge_attr: bool = False
 
     @nn.compact
     def __call__(
@@ -75,9 +80,14 @@ class GINConvEff(nn.Module):
         *, deterministic: bool, use_running_average: bool,
     ):
         eps = self.param("eps", nn.initializers.zeros, ())
-        e = FeatureSumEncoder(
-            BOND_FEATURE_DIMS, self.emb_dim, name="edge_encoder"
-        )(edge_attr)
+        if self.float_edge_attr:
+            e = TorchDense(self.emb_dim, name="edge_encoder")(
+                edge_attr.astype(jnp.float32)
+            )
+        else:
+            e = FeatureSumEncoder(
+                BOND_FEATURE_DIMS, self.emb_dim, name="edge_encoder"
+            )(edge_attr)
         e = e + TorchDense(self.emb_dim, name="edge_encoder_pos")(z_emb)
         msg = nn.relu(jnp.take(x, senders, axis=0) + e)
         agg = segment_sum(
@@ -116,6 +126,10 @@ class OgbGNNConfig:
     rni: bool = False
     # feed raw batch.x as h0 (ogbg-ppa-style, `ogb_mol_gnn.py:705-708`)
     skip_node_encoder: bool = False
+    # ogbg-ppa featurization (reference encoder/ppa_encoder.py): one
+    # uniform learned node embedding (no node features) and a linear
+    # encoder on the 7-dim float edge features
+    ppa_encoders: bool = False
     # random-walk return-probability features: number of walk steps
     # (0 = off). The reference projects extras['rp'] into the node-level
     # initial state (`ogb_mol_gnn.py:449-450,531-535` — there via
@@ -141,7 +155,13 @@ class GNNNodeEfficient(nn.Module):
             deterministic=deterministic, use_running_average=use_running_average
         )
 
-        if cfg.skip_node_encoder:
+        if cfg.ppa_encoders:
+            # featureless ppa nodes: one uniform learned embedding row
+            h = jnp.broadcast_to(
+                self.param("node_const", nn.initializers.normal(1.0), (d,)),
+                (N, d),
+            )
+        elif cfg.skip_node_encoder:
             h = batch.x.astype(jnp.float32)
         else:
             h = FeatureSumEncoder(ATOM_FEATURE_DIMS, d, name="node_encoder")(
@@ -199,7 +219,9 @@ class GNNNodeEfficient(nn.Module):
                     vn_nodes = jnp.where(is_root[:, None], vn_nodes, 0.0)
                 hcur = hcur + vn_nodes
                 h_list[layer] = hcur
-            h = GINConvEff(d, name=f"conv{layer}")(
+            h = GINConvEff(
+                d, float_edge_attr=cfg.ppa_encoders, name=f"conv{layer}"
+            )(
                 hcur, batch.senders, batch.receivers, batch.edge_attr,
                 z_emb, edge_mask, node_mask, **kw,
             )

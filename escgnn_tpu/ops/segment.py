@@ -108,10 +108,17 @@ def segment_softmax(
     mask: Optional[jax.Array] = None,
     indices_are_sorted: bool = False,
 ) -> jax.Array:
-    """Numerically stable softmax within segments (for attention pooling)."""
-    mx = segment_max(logits, segment_ids, num_segments, mask, indices_are_sorted)
-    logits = logits - mx[segment_ids]
-    ex = jnp.exp(logits)
+    """Numerically stable softmax within segments (for attention pooling).
+
+    Masked rows are filled with the finite dtype-min BEFORE the exp: a
+    masked logit can exceed its segment's masked max (padding edges carry
+    arbitrary values), and exp would overflow to inf before the mask —
+    forward-masked to zero but poisoning gradients with inf * 0."""
+    neg = jnp.asarray(jnp.finfo(logits.dtype).min, logits.dtype)
+    filled = _apply_mask(logits, mask, fill=neg)
+    mx = segment_max(filled, segment_ids, num_segments, None,
+                     indices_are_sorted)
+    ex = jnp.exp(jnp.maximum(filled - mx[segment_ids], neg))
     ex = _apply_mask(ex, mask)
     denom = segment_sum(ex, segment_ids, num_segments, None, indices_are_sorted)
     denom = jnp.maximum(denom, jnp.asarray(1e-16, denom.dtype))

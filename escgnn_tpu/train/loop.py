@@ -51,15 +51,33 @@ def adam_with_plateau(lr: float) -> optax.GradientTransformation:
     return optax.flatten(optax.inject_hyperparams(optax.adam)(learning_rate=lr))
 
 
+def _hyperparams(opt_state):
+    """The inject_hyperparams dict, reaching through wrapper states
+    (optax.chain tuples and optax.masked MaskedState — the freeze_main
+    finetuning composition)."""
+    if hasattr(opt_state, "hyperparams"):
+        return opt_state.hyperparams
+    if hasattr(opt_state, "inner_state"):
+        return _hyperparams(opt_state.inner_state)
+    if isinstance(opt_state, (tuple, list)):
+        for s in opt_state:
+            try:
+                return _hyperparams(s)
+            except AttributeError:
+                continue
+    raise AttributeError("no inject_hyperparams state found")
+
+
 def set_learning_rate(state: TrainState, lr: float) -> TrainState:
     """Host-side learning-rate override (plateau scheduler hook)."""
-    opt_state = state.opt_state
-    opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
-    return state.replace(opt_state=opt_state)
+    _hyperparams(state.opt_state)["learning_rate"] = jnp.asarray(
+        lr, jnp.float32
+    )
+    return state.replace(opt_state=state.opt_state)
 
 
 def get_learning_rate(state: TrainState) -> float:
-    return float(state.opt_state.hyperparams["learning_rate"])
+    return float(_hyperparams(state.opt_state)["learning_rate"])
 
 
 @dataclasses.dataclass

@@ -184,7 +184,7 @@ def build_dataset(cfg, seed: int):
             if d.attn_bias:
                 out = [attach_attn_bias(g) for g in out]
             m = cfg.model
-            if m.use_lap_pe or m.use_signnet:
+            if m.use_lap_pe or m.use_signnet or m.use_equivstable_pe:
                 out = [attach_lap_pe(g, k=cfg.posenc.lap_pe_k) for g in out]
             if m.use_rwse:
                 out = [attach_rwse(g, k=cfg.posenc.rwse_k) for g in out]
@@ -195,7 +195,8 @@ def build_dataset(cfg, seed: int):
         m = cfg.model
         key = (
             f"gps_{d.name}_{name}_n{d.num_graphs}_s{seed}_{ecfg.cache_key()}"
-            f"_bias{int(d.attn_bias)}_pe{int(m.use_lap_pe or m.use_signnet)}"
+            f"_bias{int(d.attn_bias)}_pe"
+            f"{int(m.use_lap_pe or m.use_signnet or m.use_equivstable_pe)}"
             f"{int(m.use_rwse)}{int(m.use_degree)}"
         )
         splits[name] = cached_featurize(
@@ -282,6 +283,8 @@ def _gps_config(cfg, splits) -> GPSConfig:
         dropout=m.dropout, attn_dropout=m.attn_dropout,
         local_model=m.local_model, global_model=m.global_model,
         san_gamma=m.san_gamma,
+        performer_features=m.performer_features,
+        use_equivstable_pe=m.use_equivstable_pe,
         use_esc=m.use_esc, use_attn_bias=m.use_attn_bias,
         use_lap_pe=m.use_lap_pe, use_signnet=m.use_signnet,
         use_rwse=m.use_rwse,
@@ -305,10 +308,49 @@ def run_one(cfg, seed: int, out_dir: str) -> dict:
         jnp.asarray, next(batch_iterator(splits["train"][:2], spec))
     )
     variables = model.init(rng, init_b)
-    state = TrainState.create(
-        variables["params"], variables.get("batch_stats", {}),
-        adam_with_plateau(cfg.optim.base_lr),
-    )
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    tx = adam_with_plateau(cfg.optim.base_lr)
+    if cfg.pretrained.dir:
+        # finetune from a pretrained checkpoint (reference
+        # config/pretrained_config.py): restore body params, optionally
+        # keep the freshly-initialized prediction head, optionally
+        # freeze everything but the head
+        import optax
+
+        pre = CheckpointManager(cfg.pretrained.dir)
+        assert pre.latest_step() is not None, (
+            f"pretrained.dir {cfg.pretrained.dir!r} has no checkpoint"
+        )
+        # checkpoints hold the FULL TrainState (run_one saves state);
+        # restore against a same-structure template, keep params + BN
+        # stats, discard the old optimizer state
+        restored = restore_train_state(
+            pre, TrainState.create(params, batch_stats, tx)
+        )
+        restored = {
+            "params": restored.params, "batch_stats": restored.batch_stats
+        }
+        loaded = dict(restored["params"])
+        head_keys = ("head1", "head2")
+        if cfg.pretrained.reset_prediction_head:
+            for k in head_keys:
+                loaded[k] = params[k]
+        params = loaded
+        batch_stats = restored["batch_stats"]
+        print(f"[seed {seed}] loaded pretrained params from "
+              f"{cfg.pretrained.dir} (reset_head="
+              f"{cfg.pretrained.reset_prediction_head})")
+        if cfg.pretrained.freeze_main:
+            # zero the gradients of every non-head subtree BEFORE adam:
+            # frozen params then receive exactly-zero updates (adam of a
+            # zero gradient is zero), and the plateau scheduler still
+            # reaches the inject_hyperparams state through the chain
+            freeze_mask = {k: (k not in head_keys) for k in params}
+            tx = optax.chain(
+                optax.masked(optax.set_to_zero(), freeze_mask), tx
+            )
+    state = TrainState.create(params, batch_stats, tx)
     n_params = sum(
         int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(state.params)
     )

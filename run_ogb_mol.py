@@ -100,9 +100,19 @@ def main():
     backup_run(res_dir)
 
     ecfg = EscConfig(h=args.h, use_rd=True, self_loop=True)
-    raw = synthetic_ogb_mol(
-        num_graphs=args.num_graphs, seed=args.seed, num_tasks=args.num_tasks
-    )
+    is_ppa = args.dataset == "ogbg-ppa"
+    if is_ppa:
+        # species classification: featureless nodes, 7-dim float edges,
+        # 37 classes, CE loss + accuracy (reference run_ogb_mol.py:352)
+        from escgnn_tpu.data.molecules import synthetic_ppa
+
+        raw = synthetic_ppa(num_graphs=args.num_graphs, seed=args.seed)
+        args.num_tasks = 37
+    else:
+        raw = synthetic_ogb_mol(
+            num_graphs=args.num_graphs, seed=args.seed,
+            num_tasks=args.num_tasks,
+        )
     n_tr, n_val = int(0.8 * len(raw)), int(0.1 * len(raw))
     raw_splits = {
         "train": raw[:n_tr],
@@ -196,6 +206,7 @@ def main():
                 subgraph_pooling=args.subgraph_pooling,
                 rni=args.rni,
                 use_rp=args.use_rp or 0,
+                ppa_encoders=is_ppa,
             )
         )
     rng = jax.random.key(args.seed)
@@ -231,6 +242,10 @@ def main():
                 mutable=["batch_stats"],
                 rngs={"dropout": rng, "rni": jax.random.fold_in(rng, 7)},
             )
+            if is_ppa:
+                from escgnn_tpu.train.loop import ce_graph_loss
+
+                return ce_graph_loss(out, batch), mut["batch_stats"]
             return masked_bce_with_logits(out, batch), mut["batch_stats"]
 
         (loss, new_stats), grads = jax.value_and_grad(compute, has_aux=True)(
@@ -258,7 +273,13 @@ def main():
             use_running_average=True,
         )
 
-    metric_fn = rocauc if args.metric == "rocauc" else average_precision
+    if is_ppa:
+        args.metric = "acc"
+
+        def metric_fn(y, p):  # accuracy (the OGB ppa Evaluator metric)
+            return float((p.argmax(-1) == y.reshape(-1)).mean())
+    else:
+        metric_fn = rocauc if args.metric == "rocauc" else average_precision
 
     def evaluate(graphs, param_sets=None):
         """Score a split; with param_sets, average predictions over

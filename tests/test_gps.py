@@ -367,3 +367,143 @@ def test_dump_attention_key_naming(tmp_path, gps_batch):
         assert keys == ["layer0/self_attn", "layer1/self_attn"], keys
         for k in keys:
             assert z[k].ndim == 4  # (G, heads, M, M)
+
+
+def test_favor_kernel_approximates_softmax():
+    """FAVOR+ positive random features: phi(q).phi(k) estimates
+    exp(q.k) (unit-variance inputs, m >> d gives a tight estimate)."""
+    from escgnn_tpu.models.gps import _favor_projection
+
+    hd, m = 8, 4096
+    rng = np.random.default_rng(0)
+    W = np.asarray(_favor_projection(m, hd))
+    q = rng.normal(size=(5, hd)) * 0.3
+    k = rng.normal(size=(5, hd)) * 0.3
+
+    def phi(x):
+        wx = x @ W.T
+        return np.exp(wx - 0.5 * (x * x).sum(-1, keepdims=True)) / np.sqrt(m)
+
+    est = phi(q) @ phi(k).T
+    want = np.exp(q @ k.T)
+    # the positive-feature estimator's variance grows with exp(||q+k||^2),
+    # so bound the MEAN relative error (the normalized-attention module
+    # test asserts the end-to-end tolerance)
+    rel = np.abs(est - want) / want
+    assert rel.mean() < 0.1, rel.mean()
+    np.testing.assert_allclose(est, want, rtol=0.5)
+
+
+def test_gps_performer_global(gps_batch):
+    cfg = GPSConfig(
+        dim_h=16, num_layers=2, num_heads=2, use_attn_bias=False,
+        global_model="performer", performer_features=32,
+    )
+    model = GPSModel(cfg)
+    variables = model.init(jax.random.key(0), gps_batch)
+    out = model.apply(variables, gps_batch)
+    assert out.shape == (gps_batch.num_graphs, 1)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_performer_approaches_dense_attention(gps_batch):
+    """With many random features the FAVOR+ layer output approaches the
+    exact-softmax dense attention computed from the SAME q/k/v weights."""
+    import flax
+
+    from escgnn_tpu.models.gps import DenseAttention, FavorAttention
+
+    D, Hh = 16, 2
+    fav = FavorAttention(D, Hh, num_features=8192)
+    v_f = fav.init(
+        jax.random.key(1), jnp.asarray(np.random.default_rng(1).normal(
+            size=(gps_batch.num_nodes, D)).astype(np.float32)),
+        gps_batch, deterministic=True,
+    )
+    h = jnp.asarray(
+        np.random.default_rng(2).normal(
+            size=(gps_batch.num_nodes, D)
+        ).astype(np.float32)
+    )
+    out_f = fav.apply(v_f, h, gps_batch, deterministic=True)
+
+    dense = DenseAttention(D, Hh, False, 102)
+    v_d = dense.init(jax.random.key(0), h, gps_batch, deterministic=True)
+    # share q/k/v/out weights
+    pf = flax.core.unfreeze(v_f)["params"]
+    pd = flax.core.unfreeze(v_d)["params"]
+    for k in ("q", "k", "v", "out"):
+        pd[k] = pf[k]
+    out_d = dense.apply({"params": pd}, h, gps_batch, deterministic=True)
+    m = np.asarray(gps_batch.node_mask)
+    a, b = np.asarray(out_f)[m], np.asarray(out_d)[m]
+    corr = np.corrcoef(a.reshape(-1), b.reshape(-1))[0, 1]
+    assert corr > 0.95, f"FAVOR+ vs dense correlation {corr}"
+    np.testing.assert_allclose(a, b, atol=0.35)
+
+
+def test_gps_san2_global(gps_batch):
+    cfg = GPSConfig(
+        dim_h=16, num_layers=2, num_heads=2, use_attn_bias=False,
+        global_model="san2",
+    )
+    model = GPSModel(cfg)
+    variables = model.init(jax.random.key(0), gps_batch)
+    # learnable gamma scalar exists (san2_layer.py nn.Parameter(0.5))
+    leaf = variables["params"]["layer0"]["self_attn"]["gamma"]
+    assert leaf.shape == ()
+    np.testing.assert_allclose(float(leaf), 0.5)
+    out = model.apply(variables, gps_batch)
+    assert out.shape == (gps_batch.num_graphs, 1)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_gps_graphormer_layer(gps_batch):
+    cfg = GPSConfig(
+        dim_h=16, num_layers=2, num_heads=2, use_attn_bias=True,
+        global_model="graphormer", use_degree=False,
+    )
+    model = GPSModel(cfg)
+    variables = model.init(jax.random.key(0), gps_batch)
+    # graphormer block: pre-LN MHA, no local MPNN params in the layer
+    layer0 = variables["params"]["layer0"]
+    assert "input_norm" in layer0 and "mlp_norm" in layer0
+    assert not any(k.startswith("local_") for k in layer0)
+    out = model.apply(variables, gps_batch)
+    assert out.shape == (gps_batch.num_graphs, 1)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_gps_equivstable_pe(gps_batch):
+    from escgnn_tpu.featurize.posenc import attach_lap_pe
+
+    # rebuild the batch with lap_pe attached
+    rng = np.random.default_rng(0)
+    cfgE = EscConfig(h=2, use_rd=True, self_loop=True)
+    graphs = []
+    for _ in range(3):
+        n, ei = random_graph(rng, max_n=8)
+        g = GraphData(
+            num_nodes=n, edge_index=ei,
+            x=rng.integers(0, 20, n).astype(np.int32)[:, None],
+            edge_attr=rng.integers(1, 4, ei.shape[1]).astype(np.int32),
+            y=rng.normal(size=(1,)).astype(np.float32),
+        )
+        g = esc_transform(g, cfgE)
+        g = attach_attn_bias(g)
+        g = attach_lap_pe(g, k=4)
+        graphs.append(g)
+    spec = BatchSpec.from_graphs(graphs, batch_size=3)
+    b = jax.tree.map(jnp.asarray, pad_and_batch(graphs, spec))
+
+    cfg = GPSConfig(
+        dim_h=16, num_layers=2, num_heads=2, use_attn_bias=False,
+        local_model="gatedgcn", use_equivstable_pe=True,
+    )
+    model = GPSModel(cfg)
+    variables = model.init(jax.random.key(0), b)
+    # the r_ij stabilizer MLP exists inside the gatedgcn local model
+    assert "r_mlp1" in variables["params"]["layer0"]["local_gatedgcn"]
+    out = model.apply(variables, b)
+    assert out.shape == (b.num_graphs, 1)
+    assert np.all(np.isfinite(np.asarray(out)))
