@@ -1,16 +1,21 @@
 #!/usr/bin/env python
-"""Headline benchmark: edges/s/chip on a ZINC-shaped NestedGIN_eff training
-step (the reference's flagship workload, `zinc_models.py:504-611`).
+"""Benchmarks: training-step throughput of the model zoo on one chip.
 
-Prints ONE JSON line:
+Prints one JSON line per benchmark; the FLAGSHIP line (ZINC
+NestedGIN_eff — the reference's headline workload, `zinc_models.py:
+504-611`) prints LAST:
   {"metric": ..., "value": N, "unit": "edges/s", "vs_baseline": N}
 
-`vs_baseline` divides by A100_PYG_EDGES_PER_S — a provisional estimate of
-the reference implementation's A100 training throughput on the same
-workload (PyG GINEConv, 5 layers, hidden 256, batch 128 ZINC graphs).
-The reference repo publishes no numbers and no GPU is available here to
-measure it; the estimate is marked and should be replaced by a measured
-value (see BASELINE.md). vs_baseline > 1 means faster than that estimate.
+`vs_baseline` for the flagship divides by ROUND1_MEASURED_EDGES_PER_S —
+this framework's round-1 measured value of the same metric on the same
+chip (BASELINE.md "Measured numbers", 2026-08-20), so the ratio tracks
+regression/progress against a real measurement. (Earlier rounds divided
+by a provisional unmeasured A100 PyG estimate; that invented denominator
+is gone.) Secondary models report vs_baseline = null: no prior
+measurement exists yet.
+
+Set BENCH_ONLY=flagship to skip the secondary models (each costs one
+jit compile — 25-150 s over the remote-compile tunnel on first run).
 """
 
 from __future__ import annotations
@@ -21,11 +26,15 @@ import time
 
 import numpy as np
 
-# Provisional reference throughput denominator (see module docstring).
-A100_PYG_EDGES_PER_S = 1.0e6
+# BENCH_SMOKE=1 shrinks graph counts and scan lengths so a CPU wiring
+# check finishes in minutes; real measurements use the full sizes.
+SMOKE = os.environ.get("BENCH_SMOKE") == "1"
+
+# Round-1 measured flagship throughput on this chip (BASELINE.md).
+ROUND1_MEASURED_EDGES_PER_S = 8_950_718.0
 
 
-def make_zinc_like_graphs(num=128, seed=0):
+def make_zinc_like_graphs(num=128, seed=0, h=3):
     """ZINC-subset-shaped synthetic molecules: ~23 heavy atoms, sparse
     bonds, 28 node types, 4 edge types (dataset stats of ZINC-12k)."""
     from escgnn_tpu.data.container import GraphData
@@ -36,9 +45,7 @@ def make_zinc_like_graphs(num=128, seed=0):
     graphs = []
     for _ in range(num):
         n = int(rng.integers(18, 30))
-        # random connected sparse graph: a path + a few chords (molecule-like)
         a = np.arange(n - 1)
-        src = [a, a + 1]
         extra = max(2, n // 6)
         c1 = rng.integers(0, n, extra)
         c2 = (c1 + rng.integers(2, 5, extra)) % n
@@ -57,15 +64,169 @@ def make_zinc_like_graphs(num=128, seed=0):
             y=rng.normal(size=(1,)).astype(np.float32),
         )
         graphs.append(g)
-    cfg = EscConfig(h=3, use_rd=True, self_loop=True)
+    cfg = EscConfig(h=h, use_rd=True, self_loop=True)
     return featurize_many(graphs, cfg, num_workers=8)
+
+
+def make_counting_graphs(num=128, seed=0):
+    from escgnn_tpu.data.counting import (
+        CountingDatasetConfig,
+        generate_counting_graphs,
+    )
+    from escgnn_tpu.featurize.escgnn import EscConfig
+    from escgnn_tpu.featurize.transform import featurize_many
+
+    splits = generate_counting_graphs(
+        CountingDatasetConfig(num_graphs=num, seed=seed)
+    )
+    graphs = [g for s in splits.values() for g in s][:num]
+    for g in graphs:
+        g.y = g.y[:, :1]
+    return featurize_many(graphs, EscConfig(h=2, use_rd=True,
+                                            self_loop=True), num_workers=8)
+
+
+def make_molhiv_like_graphs(num=32, seed=0):
+    from escgnn_tpu.data.molecules import synthetic_ogb_mol
+    from escgnn_tpu.featurize.escgnn import EscConfig
+    from escgnn_tpu.featurize.transform import featurize_many
+
+    graphs = synthetic_ogb_mol(num_graphs=num, seed=seed, num_tasks=1)
+    return featurize_many(graphs, EscConfig(h=4, use_rd=True,
+                                            self_loop=True), num_workers=8)
+
+
+def scan_time(step, state, batch, rng, n_iter):
+    """Best-of-3 wall time of an n_iter on-device lax.scan of the train
+    step (per-dispatch tunnel latency ~25 ms would otherwise dominate;
+    the final float() forces a scalar transfer — block_until_ready does
+    not reliably wait over the tunnel)."""
+    from functools import partial
+
+    import jax
+    import jax.numpy as jnp
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def scan_steps(state, batch, rng):
+        def body(s, i):
+            return step.__wrapped__(s, batch, jax.random.fold_in(rng, i))
+
+        return jax.lax.scan(body, state, jnp.arange(n_iter))
+
+    state, losses = scan_steps(state, batch, rng)
+    float(losses[-1])  # compile + warm
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        state, losses = scan_steps(state, batch, rng)
+        float(losses[-1])
+        best = min(best, time.perf_counter() - t0)
+    return best, state, scan_steps
+
+
+def bench_model(name, graphs, spec, model, loss_fn, n_iter,
+                node_level=False):
+    import jax
+    import jax.numpy as jnp
+
+    from escgnn_tpu.data.batching import pad_and_batch
+    from escgnn_tpu.train.loop import (
+        TrainState,
+        adam_with_plateau,
+        make_train_step,
+    )
+
+    batch = jax.tree.map(jnp.asarray, pad_and_batch(graphs, spec))
+    real_edges = int(np.sum([g.num_edges for g in graphs]))
+    variables = model.init(jax.random.key(0), batch)
+    state = TrainState.create(
+        variables["params"], variables.get("batch_stats", {}),
+        adam_with_plateau(5e-4),
+    )
+    step = make_train_step(model, loss_fn)
+    state, loss = step(state, batch, jax.random.key(1))
+    float(loss)
+    dt, state, _ = scan_time(step, state, batch, jax.random.key(1), n_iter)
+    edges_per_s = real_edges * n_iter / dt
+    return edges_per_s
+
+
+def run_secondary(counting_graphs, gps_graphs, ogb_graphs):
+    n_ppgn, n_other = (5, 10) if SMOKE else (50, 100)
+    from escgnn_tpu.data.batching import BatchSpec
+    from escgnn_tpu.train.loop import (
+        bce_graph_loss,
+        l1_graph_loss,
+        l1_node_loss,
+    )
+
+    lines = []
+
+    # --- PPGN_eff on counting shapes (reference run_graphcount.py:207-308)
+    graphs = counting_graphs
+    spec = BatchSpec.from_graphs(graphs, batch_size=len(graphs))
+    from escgnn_tpu.models.ppgn import PPGN, PPGNConfig
+
+    model = PPGN(PPGNConfig(
+        emb_dim=128, num_rb_layers=3,
+        max_nodes=spec.max_nodes_per_graph, node_level=True, use_esc=True,
+    ))
+    eps = bench_model("ppgn", graphs, spec, model, l1_node_loss, n_ppgn,
+                      node_level=True)
+    lines.append({
+        "metric": "counting_ppgn_eff_trainstep_edges_per_s_per_chip",
+        "value": round(eps, 1), "unit": "edges/s", "vs_baseline": None,
+    })
+
+    # --- GPS on ZINC shapes (zinc-GPS.yaml recipe)
+    from escgnn_tpu.models.gps import GPSConfig, GPSModel
+
+    graphs = gps_graphs
+    spec = BatchSpec.from_graphs(graphs, batch_size=len(graphs))
+    model = GPSModel(GPSConfig(
+        dim_h=64, num_layers=4, num_heads=4, use_esc=True,
+        use_attn_bias=True, pool="add", out_dim=1,
+    ))
+    eps = bench_model("gps", graphs, spec, model, l1_graph_loss, n_other)
+    lines.append({
+        "metric": "zinc_gps_trainstep_edges_per_s_per_chip",
+        "value": round(eps, 1), "unit": "edges/s", "vs_baseline": None,
+    })
+
+    # --- OGB GNN on molhiv shapes (reference README molhiv config: h=4,
+    # 6 layers, emb 300, virtual node)
+    from escgnn_tpu.models.ogb_gnn import OgbGNN, OgbGNNConfig
+
+    graphs = ogb_graphs
+    spec = BatchSpec.from_graphs(graphs, batch_size=len(graphs))
+    model = OgbGNN(OgbGNNConfig(
+        num_tasks=1, num_layers=6, emb_dim=300, dropout=0.0,
+        virtual_node=True,
+    ))
+    eps = bench_model("ogb", graphs, spec, model, bce_graph_loss, n_other)
+    lines.append({
+        "metric": "molhiv_ogbgnn_trainstep_edges_per_s_per_chip",
+        "value": round(eps, 1), "unit": "edges/s", "vs_baseline": None,
+    })
+    return lines
 
 
 def main():
     # featurize (fork pool) BEFORE importing jax: forking a process that
     # already initialized XLA's thread pools can deadlock
-    batch_size = 128
+    batch_size = 16 if SMOKE else 128
     graphs = make_zinc_like_graphs(num=batch_size)
+    only_flagship = os.environ.get("BENCH_ONLY") == "flagship"
+    if not only_flagship:
+        # ALL featurization (fork pools) must happen before jax init
+        counting_graphs = make_counting_graphs(num=16 if SMOKE else 128)
+        from escgnn_tpu.featurize.spd import attach_attn_bias
+
+        gps_graphs = [
+            attach_attn_bias(g)
+            for g in make_zinc_like_graphs(num=8 if SMOKE else 32, h=3)
+        ]
+        ogb_graphs = make_molhiv_like_graphs(num=8 if SMOKE else 32)
 
     import jax
     from escgnn_tpu.utils import setup_jax
@@ -80,14 +241,16 @@ def main():
         l1_graph_loss,
         make_train_step,
     )
+
+    if not only_flagship:
+        for line in run_secondary(counting_graphs, gps_graphs, ogb_graphs):
+            print(json.dumps(line))
+
     # uniform per-graph blocks: every graph padded to the same
     # (nodes, edges) block so GINE gather/scatter run as per-graph
     # one-hot einsums on the MXU instead of global XLA gather/scatter.
-    # ~23% padded rows, but scan-timed end to end it beats exact packing
-    # 2.67 vs 3.23 ms/step on this batch (the earlier opposite conclusion
-    # was an artifact of dispatch-bound timing). Dedup encoding layout:
-    # molecular graphs repeat ESC histograms heavily (~3.4x here), so the
-    # z-emb reduce runs on unique rows only + one (R,H)->(E,H) take.
+    # Dedup encoding layout: molecular graphs repeat ESC histograms
+    # heavily (~3.4x here), so the z-emb reduce runs on unique rows only.
     spec = BatchSpec.uniform(graphs, batch_size, enc_layout="dedup")
     batch = jax.tree.map(jnp.asarray, pad_and_batch(graphs, spec))
     real_edges = int(np.sum([g.num_edges for g in graphs]))
@@ -115,60 +278,33 @@ def main():
     rng = jax.random.key(0)
     variables = model.init(rng, batch)
     state = TrainState.create(
-        variables["params"], variables.get("batch_stats", {}), adam_with_plateau(5e-4)
+        variables["params"], variables.get("batch_stats", {}),
+        adam_with_plateau(5e-4),
     )
     step = make_train_step(model, l1_graph_loss)
-
-    # warmup/compile + drain (force a scalar transfer: block_until_ready
-    # does not reliably wait over the remote-execution tunnel)
     state, loss = step(state, batch, rng)
     float(loss)
 
-    # Timing methodology: scan n_iter full train steps ON DEVICE in one
-    # dispatch. Individually dispatched steps are capped by the tunnel's
-    # per-dispatch round trip (~4 ms/step measured — above the step's
-    # device time), which would benchmark the tunnel, not the chip; even
-    # one 50-step scan carries ~25 ms of tunnel dispatch+sync overhead
-    # (profiled: device busy 58.4 ms vs 83 ms wall), so the scan is long
-    # enough to amortize it to <3%. On a real TPU host the input
-    # pipeline dispatches exactly like this scan
-    # (see make_multi_train_step).
-    n_iter = 400
-    from functools import partial
+    n_iter = 20 if SMOKE else 400
+    dt, state, scan_steps = scan_time(step, state, batch, rng, n_iter)
 
-    @partial(jax.jit, donate_argnums=(0,))
-    def scan_steps(state, batch, rng):
-        def body(s, i):
-            return step.__wrapped__(s, batch, jax.random.fold_in(rng, i))
-
-        return jax.lax.scan(body, state, jnp.arange(n_iter))
-
-    state, losses = scan_steps(state, batch, rng)
-    float(losses[-1])  # compile + warm
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        state, losses = scan_steps(state, batch, rng)
-        float(losses[-1])
-        best = min(best, time.perf_counter() - t0)
-    dt = best
-
-    # optional post-timing jax.profiler trace (tools/profile_step.py parses it)
+    # optional post-timing jax.profiler trace (tools/profile_step.py)
     profile_dir = os.environ.get("BENCH_PROFILE_DIR")
     if profile_dir:
         with jax.profiler.trace(profile_dir):
             state, losses = scan_steps(state, batch, rng)
             float(losses[-1])
 
-    steps_per_s = n_iter / dt
-    edges_per_s = real_edges * steps_per_s
+    edges_per_s = real_edges * n_iter / dt
     print(
         json.dumps(
             {
                 "metric": "zinc_nestedgin_eff_trainstep_edges_per_s_per_chip",
                 "value": round(edges_per_s, 1),
                 "unit": "edges/s",
-                "vs_baseline": round(edges_per_s / A100_PYG_EDGES_PER_S, 3),
+                "vs_baseline": round(
+                    edges_per_s / ROUND1_MEASURED_EDGES_PER_S, 3
+                ),
             }
         )
     )

@@ -567,6 +567,33 @@ def run_eval_only(cfg, ckpt_dir: str):
     use_auc = task == "multilabel" and cfg.metric == "auc"
 
     def evaluate(graphs):
+        if task == "node_classification":
+            from escgnn_tpu.data.prefetch import stack_split
+            from sklearn.metrics import f1_score
+
+            stacked = stack_split(graphs, spec)
+
+            @jax.jit
+            def node_logits(params, batch_stats, stacked):
+                def body(_, batch):
+                    out = model.apply(
+                        {"params": params, "batch_stats": batch_stats},
+                        batch, deterministic=True,
+                        use_running_average=True,
+                    )
+                    return None, (out, batch.y, batch.node_mask)
+
+                _, outs = jax.lax.scan(body, None, stacked)
+                return outs
+
+            outs, ys, masks = jax.tree.map(np.asarray, node_logits(
+                state.params, state.batch_stats, stacked
+            ))
+            m = masks.reshape(-1).astype(bool)
+            pred = outs.reshape(-1, outs.shape[-1])[m].argmax(-1)
+            return float(f1_score(
+                ys.reshape(-1)[m].astype(np.int64), pred, average="macro"
+            ))
         if task != "regression":
             from escgnn_tpu.data.prefetch import stack_split
             from escgnn_tpu.train.metrics import average_precision, rocauc
@@ -579,6 +606,17 @@ def run_eval_only(cfg, ckpt_dir: str):
             y = ys.reshape(-1, ys.shape[-1])[m]
             if task == "classification":
                 return float((out.argmax(-1) == y.reshape(-1)).mean())
+            if task == "sequence":
+                from escgnn_tpu.data.code2 import (
+                    MAX_SEQ_LEN,
+                    NUM_VOCAB,
+                    subtoken_f1,
+                )
+
+                pred = out.reshape(
+                    -1, MAX_SEQ_LEN, NUM_VOCAB + 2
+                ).argmax(-1)
+                return subtoken_f1(pred, y.astype(np.int64))
             v = (rocauc if use_auc else average_precision)(y, out)
             if np.isnan(v):
                 import warnings
@@ -596,6 +634,8 @@ def run_eval_only(cfg, ckpt_dir: str):
     key = {
         "classification": "acc",
         "multilabel": "auc" if use_auc else "ap",
+        "node_classification": "f1",
+        "sequence": "f1",
     }.get(task, "mae")
     print(json.dumps({
         f"val_{key}": evaluate(splits["val"]) * std,
