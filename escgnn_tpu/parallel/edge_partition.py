@@ -59,11 +59,16 @@ def _batch_shardings(batch: GraphBatch, mesh: Mesh, edge_spec, row_spec):
             return NamedSharding(mesh, row_spec)
         return NamedSharding(mesh, P())
 
-    fields = {
-        f.name: spec_for(f.name, getattr(batch, f.name))
-        for f in dataclasses.fields(GraphBatch)
-        if f.name != "extras"
-    }
+    fields = {}
+    for f in dataclasses.fields(GraphBatch):
+        if f.name == "extras":
+            continue
+        if not f.metadata.get("pytree_node", True):
+            # static (aux-data) fields — e.g. the uniform-layout block
+            # metadata — must match the batch's pytree structure exactly
+            fields[f.name] = getattr(batch, f.name)
+        else:
+            fields[f.name] = spec_for(f.name, getattr(batch, f.name))
     extras = None
     if batch.extras:
         extras = {k: NamedSharding(mesh, P()) for k in batch.extras}
@@ -144,6 +149,96 @@ def make_dp_ep_train_step(
         shardings=batch_shardings_2d(
             example_batch, mesh, data_axis, model_axis
         ),
+    )
+
+
+def shard_pool_by_edges(stacked_pool, mesh: Mesh, axis: str = "model"):
+    """Device-put a [B, ...]-stacked batch pool (`stacked_batch_pools` /
+    `stack_split` output) with 1-D edge shardings: edge-aligned arrays
+    split over `axis` on their edge dimension (axis 1 of the stacked
+    array), node/graph arrays and the dedup-layout encoding tables
+    replicated. Drops the sorted-CSR expansion view like
+    `shard_batch_by_edges` (its Pallas backward assumes an unpartitioned
+    edge axis)."""
+    stacked_pool = stacked_pool.replace(
+        enc_edge_perm=None, enc_row_sorted=None
+    )
+    shardings = _batch_shardings(
+        stacked_pool, mesh, edge_spec=P(None, axis), row_spec=P()
+    )
+    return jax.tree.map(
+        lambda x, s: jax.device_put(jnp.asarray(x), s),
+        stacked_pool, shardings,
+    )
+
+
+def make_ep_pool_train_step(
+    model,
+    loss_fn: Callable,
+    mesh: Mesh,
+    example_pool: GraphBatch,
+    axis: str = "model",
+):
+    """Whole-epoch edge-partitioned training in ONE dispatch: `lax.scan`
+    over a shuffled order vector of a device-resident stacked pool whose
+    edge arrays are sharded over `axis` (`shard_pool_by_edges`).
+
+    The driver-facing ep path (run_zinc.py / run_graphcount.py
+    `--mesh ep`). Unlike dp, all devices cooperate on the SAME batch each
+    step — the SPMD partitioner turns the partial per-node scatter-adds
+    into psums over ICI — so each step is numerically the single-device
+    step up to fp reduction order (tests/test_edge_partition.py). The
+    reference has no analogue; its only distribution is a
+    DistributedSampler (`kernel/train_eval.py:44-52`).
+
+    Returns train_epoch(state, stacked_pool, order, rng) ->
+    (state, losses (steps,)); `state` must be replicated over the mesh.
+    """
+    example_pool = example_pool.replace(
+        enc_edge_perm=None, enc_row_sorted=None
+    )
+    pool_sh = _batch_shardings(
+        example_pool, mesh, edge_spec=P(None, axis), row_spec=P()
+    )
+    repl = NamedSharding(mesh, P())
+
+    def pool_epoch(state: TrainState, stacked: GraphBatch, order, rng):
+        def compute(params, batch_stats, batch, step_rng):
+            out, mut = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                batch,
+                deterministic=False,
+                use_running_average=False,
+                mutable=["batch_stats"],
+                rngs={"dropout": step_rng},
+            )
+            return loss_fn(out, batch), mut["batch_stats"]
+
+        def body(state, i):
+            batch = jax.tree.map(lambda a: a[i], stacked)
+            step_rng = jax.random.fold_in(rng, state.step)
+            (loss, new_stats), grads = jax.value_and_grad(
+                compute, has_aux=True
+            )(state.params, state.batch_stats, batch, step_rng)
+            updates, new_opt = state.tx.update(
+                grads, state.opt_state, state.params
+            )
+            return (
+                state.replace(
+                    step=state.step + 1,
+                    params=optax.apply_updates(state.params, updates),
+                    batch_stats=new_stats,
+                    opt_state=new_opt,
+                ),
+                loss,
+            )
+
+        return jax.lax.scan(body, state, order.astype(jnp.int32))
+
+    return jax.jit(
+        pool_epoch,
+        in_shardings=(None, pool_sh, repl, repl),
+        donate_argnums=(0,),
     )
 
 

@@ -123,11 +123,14 @@ def main():
                    help="pre-built membership-shuffled train batch pools cycled across epochs (bounded-transfer stand-in for per-epoch reshuffling)")
     p.add_argument("--reshuffle_membership", action="store_true",
                    help="re-form train batches every epoch (reference-exact shuffling; leaks host RSS on the remote-tunnel env — see train pool comment)")
-    p.add_argument("--mesh", default="none", choices=["none", "dp"],
+    p.add_argument("--mesh", default="none", choices=["none", "dp", "ep"],
                    help="train over a jax.sharding.Mesh: 'dp' = data "
                    "parallel (each step consumes one batch per device; "
                    "grads/loss/BN stats pmean'd over ICI — the reference "
-                   "DistributedSampler+DDP role, kernel/train_eval.py:44-57)")
+                   "DistributedSampler+DDP role, kernel/train_eval.py:44-57); "
+                   "'ep' = edge partition (all devices cooperate on the "
+                   "same batch; edge arrays GSPMD-sharded, partial "
+                   "scatter-adds psum'd — no reference analogue)")
     p.add_argument("--mesh_devices", type=int, default=0,
                    help="device count for --mesh (0 = all visible)")
     p.add_argument("--bn_eval", default="running",
@@ -205,22 +208,28 @@ def main():
     print(f"params: {n_params / 1e6:.2f}M")
 
     mesh = None
-    if args.mesh == "dp":
-        from escgnn_tpu.parallel.data_parallel import (
-            make_dp_pool_train_step,
-            replicate_state,
-        )
+    if args.mesh != "none":
+        from escgnn_tpu.parallel.data_parallel import replicate_state
         from escgnn_tpu.parallel.mesh import make_mesh, replicate
 
         n_dev = args.mesh_devices or len(jax.devices())
-        mesh = make_mesh(n_dev)
+        axis_names = ("data",) if args.mesh == "dp" else ("model",)
+        mesh = make_mesh(n_dev, axis_names=axis_names)
         state = replicate_state(state, mesh)
-        dp_pool_step = make_dp_pool_train_step(model, l1_node_loss, mesh)
-        print(f"mesh: dp over {n_dev} devices "
-              f"(effective batch {n_dev * args.batch_size})")
         assert not args.reshuffle_membership, (
-            "--mesh dp uses device-resident pools"
+            "--mesh uses device-resident pools"
         )
+        if args.mesh == "dp":
+            from escgnn_tpu.parallel.data_parallel import (
+                make_dp_pool_train_step,
+            )
+
+            dp_pool_step = make_dp_pool_train_step(model, l1_node_loss, mesh)
+            print(f"mesh: dp over {n_dev} devices "
+                  f"(effective batch {n_dev * args.batch_size})")
+        else:
+            print(f"mesh: ep over {n_dev} devices "
+                  f"(edge arrays sharded, batch {args.batch_size})")
 
     train_step = make_train_step(model, l1_node_loss)
     if not args.reshuffle_membership:
@@ -253,14 +262,27 @@ def main():
     test_stack = stack_split(splits["test"], spec)
     refresh_stack = stack_split(splits["train"][: 8 * args.batch_size], spec)
     if mesh is not None:
-        # dp: pools and eval stacks replicated over the mesh (a dp step
-        # consumes device-count batches per scan step; eval runs the
-        # replicated computation on every device)
-        assert num_train_batches >= mesh.size, (
-            f"need >= {mesh.size} train batches for --mesh dp, have "
-            f"{num_train_batches}"
-        )
-        stacked_pools = [replicate(p, mesh) for p in stacked_pools]
+        if args.mesh == "dp":
+            # dp: pools replicated over the mesh (a dp step consumes
+            # device-count batches per scan step)
+            assert num_train_batches >= mesh.size, (
+                f"need >= {mesh.size} train batches for --mesh dp, have "
+                f"{num_train_batches}"
+            )
+            stacked_pools = [replicate(p, mesh) for p in stacked_pools]
+        else:
+            # ep: edge arrays of the pools sharded over the mesh
+            from escgnn_tpu.parallel.edge_partition import (
+                make_ep_pool_train_step,
+                shard_pool_by_edges,
+            )
+
+            stacked_pools = [
+                shard_pool_by_edges(p, mesh) for p in stacked_pools
+            ]
+            ep_pool_step = make_ep_pool_train_step(
+                model, l1_node_loss, mesh, stacked_pools[0]
+            )
         val_stack = replicate(val_stack, mesh)
         test_stack = replicate(test_stack, mesh)
         refresh_stack = replicate(refresh_stack, mesh)
@@ -289,7 +311,7 @@ def main():
                 state, loss = train_step(state, b, sub)
                 losses.append(loss)
             train_loss = float(jnp.mean(jnp.stack(losses)))
-        elif mesh is not None:
+        elif mesh is not None and args.mesh == "dp":
             pool = stacked_pools[(epoch - 1) % len(stacked_pools)]
             perm = data_rng.permutation(num_train_batches)
             steps = num_train_batches // mesh.size
@@ -298,6 +320,13 @@ def main():
                 jnp.int32,
             )
             state, ep_losses = dp_pool_step(state, pool, order, rng)
+            train_loss = float(jnp.mean(ep_losses))
+        elif mesh is not None:  # ep: same schedule as single-device
+            pool = stacked_pools[(epoch - 1) % len(stacked_pools)]
+            order = jnp.asarray(
+                data_rng.permutation(num_train_batches), jnp.int32
+            )
+            state, ep_losses = ep_pool_step(state, pool, order, rng)
             train_loss = float(jnp.mean(ep_losses))
         else:
             pool = stacked_pools[(epoch - 1) % len(stacked_pools)]

@@ -146,3 +146,74 @@ def test_dp_ep_2d_gradients_match_single_device():
             )
     finally:
         zemb_mod.set_backward_matmul_dtype(jnp.bfloat16)
+
+
+def test_ep_pool_epoch_matches_single_device_pool():
+    """Driver-facing ep path (run_zinc/run_graphcount --mesh ep): a whole
+    pool epoch through `make_ep_pool_train_step` on the UNIFORM dedup
+    layout (static block metadata in the pytree aux — regression for the
+    shardings-tree aux mismatch) must match `make_pool_train_step` on a
+    single device."""
+    from escgnn_tpu.data.prefetch import stacked_batch_pools
+    from escgnn_tpu.ops import zemb as zemb_mod
+    from escgnn_tpu.parallel.data_parallel import replicate_state
+    from escgnn_tpu.parallel.edge_partition import (
+        make_ep_pool_train_step,
+        shard_pool_by_edges,
+    )
+    from escgnn_tpu.train.loop import make_pool_train_step
+
+    zemb_mod.set_backward_matmul_dtype(jnp.float32)
+    try:
+        rng_np = np.random.default_rng(2)
+        graphs = make_graphs(rng_np, k=8)
+        spec = BatchSpec.uniform(graphs, 4, enc_layout="dedup")
+        model = NestedGINEff(NestedGINEffConfig(hidden=16, num_layers=2))
+        pool_host, n_batches = stacked_batch_pools(graphs, spec, k=1, seed=0)
+        pool = pool_host[0]
+        b0 = jax.tree.map(lambda a: a[0], pool)
+        variables = model.init(jax.random.key(0), b0)
+        state = TrainState.create(
+            variables["params"], variables.get("batch_stats", {}),
+            adam_with_plateau(1e-3),
+        )
+        order = jnp.arange(n_batches, dtype=jnp.int32)
+        rng = jax.random.key(5)
+
+        # replicate BEFORE the reference step runs: both steps donate
+        # their state argument
+        mesh = make_mesh(4, axis_names=("model",))
+        state_ep = replicate_state(state, mesh)
+
+        ref_step = make_pool_train_step(model, l1_node_loss)
+        # single-device pool drops the expansion view too, so the compute
+        # graph (not just the partitioning) matches the ep step's
+        pool_ref = pool.replace(enc_edge_perm=None, enc_row_sorted=None)
+        # deep-copied state: both pool steps donate their state argument,
+        # and CPU device_put replication can alias the source buffers
+        state_ref_in = TrainState.create(
+            jax.tree.map(jnp.array, state.params),
+            jax.tree.map(jnp.array, state.batch_stats),
+            adam_with_plateau(1e-3),
+        )
+        state_ref, losses_ref = ref_step(state_ref_in, pool_ref, order, rng)
+        pool_sh = shard_pool_by_edges(pool, mesh)
+        ep_step = make_ep_pool_train_step(model, l1_node_loss, mesh, pool_sh)
+        state_ep, losses_ep = ep_step(state_ep, pool_sh, order, rng)
+
+        np.testing.assert_allclose(
+            np.asarray(losses_ep), np.asarray(losses_ref), rtol=1e-4,
+            atol=1e-5,
+        )
+        # params: loose bound only — Adam turns sign flips of near-zero
+        # gradient components (fp reduction order) into full +/-lr
+        # differences per step (see module docstring); the tight
+        # equivalence check is the direct-gradient test above
+        for a, b in zip(
+            jax.tree.leaves(state_ep.params), jax.tree.leaves(state_ref.params)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=0.1, atol=5e-3
+            )
+    finally:
+        zemb_mod.set_backward_matmul_dtype(jnp.bfloat16)

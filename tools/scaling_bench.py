@@ -67,6 +67,10 @@ def main():
     p.add_argument("--steps", type=int, default=50, help="timed scan steps")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--max_devices", type=int, default=0)
+    p.add_argument("--mode", default="dp", choices=["dp", "ep"],
+                   help="dp = one batch per device per step (replicated "
+                   "pool); ep = all devices cooperate on each batch "
+                   "(edge arrays GSPMD-sharded over a 'model' axis)")
     args = p.parse_args()
 
     from escgnn_tpu.data.batching import batch_iterator
@@ -77,6 +81,10 @@ def main():
     from escgnn_tpu.parallel.data_parallel import (
         make_dp_pool_train_step,
         replicate_state,
+    )
+    from escgnn_tpu.parallel.edge_partition import (
+        make_ep_pool_train_step,
+        shard_pool_by_edges,
     )
     from escgnn_tpu.parallel.mesh import make_mesh, replicate
     from escgnn_tpu.train.loop import (
@@ -105,33 +113,43 @@ def main():
         n_avail = min(n_avail, args.max_devices)
     dev_counts = [d for d in (1, 2, 4, 8, 16, 32) if d <= n_avail]
 
+    metric = f"{args.mode}_scaling"
     base = None
     for D in dev_counts:
-        if n_batches < D:
+        if args.mode == "dp" and n_batches < D:
             print(json.dumps({
-                "metric": "dp_scaling", "devices": D,
+                "metric": metric, "devices": D,
                 "skipped": f"only {n_batches} batches — raise --num_graphs",
             }))
             continue
-        mesh = make_mesh(D)
+        mesh = make_mesh(
+            D, axis_names=("data",) if args.mode == "dp" else ("model",)
+        )
         state = TrainState.create(
             jax.tree.map(jnp.array, variables["params"]),
             jax.tree.map(jnp.array, variables.get("batch_stats", {})),
             adam_with_plateau(1e-3),
         )
         state = replicate_state(state, mesh)
-        pool_d = replicate(pool, mesh)
-        step = make_dp_pool_train_step(model, l1_graph_loss, mesh)
+        if args.mode == "dp":
+            pool_d = replicate(pool, mesh)
+            step = make_dp_pool_train_step(model, l1_graph_loss, mesh)
+            order_np = (
+                np.random.default_rng(0).permutation(n_batches)
+                [: (n_batches // D) * D].reshape(-1, D)
+            )
+            steps = max(1, args.steps // max(1, n_batches // D))
+        else:
+            pool_d = shard_pool_by_edges(pool, mesh)
+            step = make_ep_pool_train_step(
+                model, l1_graph_loss, mesh, pool_d
+            )
+            order_np = np.random.default_rng(0).permutation(n_batches)
+            steps = max(1, args.steps // max(1, n_batches))
         rng = jax.device_put(
             jax.random.key(0),
             jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec()),
         )
-        steps = max(1, args.steps // max(1, n_batches // D))
-        order_np = np.stack([
-            np.random.default_rng(i).permutation(n_batches)[: (n_batches // D) * D]
-            .reshape(-1, D)
-            for i in range(1)
-        ])[0]
         order = jnp.asarray(order_np, jnp.int32)
 
         # warmup (compile) then timed epochs; the scalar float() forces a
@@ -151,7 +169,7 @@ def main():
         if base is None:
             base = eps
         print(json.dumps({
-            "metric": "dp_scaling",
+            "metric": metric,
             "devices": D,
             "edges_per_s": round(eps, 1),
             "eff_vs_linear": round(eff, 4),
