@@ -34,12 +34,10 @@ SMOKE = os.environ.get("BENCH_SMOKE") == "1"
 ROUND1_MEASURED_EDGES_PER_S = 8_950_718.0
 
 
-def make_zinc_like_graphs(num=128, seed=0, h=3):
+def _raw_zinc_graphs(num, seed):
     """ZINC-subset-shaped synthetic molecules: ~23 heavy atoms, sparse
     bonds, 28 node types, 4 edge types (dataset stats of ZINC-12k)."""
     from escgnn_tpu.data.container import GraphData
-    from escgnn_tpu.featurize.escgnn import EscConfig
-    from escgnn_tpu.featurize.transform import featurize_many
 
     rng = np.random.default_rng(seed)
     graphs = []
@@ -64,8 +62,30 @@ def make_zinc_like_graphs(num=128, seed=0, h=3):
             y=rng.normal(size=(1,)).astype(np.float32),
         )
         graphs.append(g)
+    return graphs
+
+
+def make_zinc_like_graphs(num=128, seed=0, h=3):
+    from escgnn_tpu.featurize.escgnn import EscConfig
+    from escgnn_tpu.featurize.transform import featurize_many
+
     cfg = EscConfig(h=h, use_rd=True, self_loop=True)
-    return featurize_many(graphs, cfg, num_workers=8)
+    return featurize_many(_raw_zinc_graphs(num, seed), cfg, num_workers=8)
+
+
+def make_i2gnn_graphs(num=16, seed=0, h=2):
+    """Pair-subgraph (I2GNN) copies of small molecule-shaped graphs: the
+    copy-based baseline's own batch shape (reference utils_edge_I2.py
+    create_subgraphs2 role) — its compute runs on the expanded copy
+    union, so edges/s is reported on that supergraph."""
+    from escgnn_tpu.featurize.pair_subgraphs import (
+        PairSubgraphConfig,
+        create_pair_subgraphs,
+    )
+
+    pcfg = PairSubgraphConfig(h=h, use_rd=True)
+    return [create_pair_subgraphs(g, pcfg)
+            for g in _raw_zinc_graphs(num, seed)]
 
 
 def make_counting_graphs(num=128, seed=0):
@@ -151,7 +171,7 @@ def bench_model(name, graphs, spec, model, loss_fn, n_iter,
     return edges_per_s
 
 
-def run_secondary(counting_graphs, gps_graphs, ogb_graphs):
+def run_secondary(counting_graphs, gps_graphs, ogb_graphs, i2_graphs):
     n_ppgn, n_other = (5, 10) if SMOKE else (50, 100)
     from escgnn_tpu.data.batching import BatchSpec
     from escgnn_tpu.train.loop import (
@@ -208,6 +228,22 @@ def run_secondary(counting_graphs, gps_graphs, ogb_graphs):
         "metric": "molhiv_ogbgnn_trainstep_edges_per_s_per_chip",
         "value": round(eps, 1), "unit": "edges/s", "vs_baseline": None,
     })
+
+    # --- I2GNN on its pair-subgraph copies (reference zinc_models.py
+    # I2GNN + utils_edge_I2.py transform; edges/s on the copy union)
+    from escgnn_tpu.models.i2gnn import I2GNN, I2GNNConfig
+
+    graphs = i2_graphs
+    spec = BatchSpec.from_graphs(graphs, batch_size=len(graphs))
+    model = I2GNN(I2GNNConfig(
+        num_layers=3, hidden=64, use_rd=True,
+        subgraph2_pooling="mean-center-side", gate=True, out_dim=1,
+    ))
+    eps = bench_model("i2gnn", graphs, spec, model, l1_graph_loss, n_ppgn)
+    lines.append({
+        "metric": "zinc_i2gnn_trainstep_copyedges_per_s_per_chip",
+        "value": round(eps, 1), "unit": "edges/s", "vs_baseline": None,
+    })
     return lines
 
 
@@ -227,6 +263,7 @@ def main():
             for g in make_zinc_like_graphs(num=8 if SMOKE else 32, h=3)
         ]
         ogb_graphs = make_molhiv_like_graphs(num=8 if SMOKE else 32)
+        i2_graphs = make_i2gnn_graphs(num=4 if SMOKE else 16)
 
     import jax
     from escgnn_tpu.utils import setup_jax
@@ -243,7 +280,8 @@ def main():
     )
 
     if not only_flagship:
-        for line in run_secondary(counting_graphs, gps_graphs, ogb_graphs):
+        for line in run_secondary(counting_graphs, gps_graphs, ogb_graphs,
+                                  i2_graphs):
             print(json.dumps(line))
 
     # uniform per-graph blocks: every graph padded to the same
