@@ -18,7 +18,6 @@ here is the supported one.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Callable
 
 import jax
@@ -166,10 +165,10 @@ def shard_pool_by_edges(stacked_pool, mesh: Mesh, axis: str = "model"):
     shardings = _batch_shardings(
         stacked_pool, mesh, edge_spec=P(None, axis), row_spec=P()
     )
-    return jax.tree.map(
-        lambda x, s: jax.device_put(jnp.asarray(x), s),
-        stacked_pool, shardings,
-    )
+    # device_put shards host arrays directly (and reshards device
+    # arrays); staging through jnp.asarray would commit the full
+    # unsharded pool to one device first and defeat ep's memory scaling
+    return jax.tree.map(jax.device_put, stacked_pool, shardings)
 
 
 def make_ep_pool_train_step(
@@ -194,6 +193,8 @@ def make_ep_pool_train_step(
     Returns train_epoch(state, stacked_pool, order, rng) ->
     (state, losses (steps,)); `state` must be replicated over the mesh.
     """
+    from escgnn_tpu.train.loop import make_pool_epoch_fn
+
     example_pool = example_pool.replace(
         enc_edge_perm=None, enc_row_sorted=None
     )
@@ -201,42 +202,8 @@ def make_ep_pool_train_step(
         example_pool, mesh, edge_spec=P(None, axis), row_spec=P()
     )
     repl = NamedSharding(mesh, P())
-
-    def pool_epoch(state: TrainState, stacked: GraphBatch, order, rng):
-        def compute(params, batch_stats, batch, step_rng):
-            out, mut = model.apply(
-                {"params": params, "batch_stats": batch_stats},
-                batch,
-                deterministic=False,
-                use_running_average=False,
-                mutable=["batch_stats"],
-                rngs={"dropout": step_rng},
-            )
-            return loss_fn(out, batch), mut["batch_stats"]
-
-        def body(state, i):
-            batch = jax.tree.map(lambda a: a[i], stacked)
-            step_rng = jax.random.fold_in(rng, state.step)
-            (loss, new_stats), grads = jax.value_and_grad(
-                compute, has_aux=True
-            )(state.params, state.batch_stats, batch, step_rng)
-            updates, new_opt = state.tx.update(
-                grads, state.opt_state, state.params
-            )
-            return (
-                state.replace(
-                    step=state.step + 1,
-                    params=optax.apply_updates(state.params, updates),
-                    batch_stats=new_stats,
-                    opt_state=new_opt,
-                ),
-                loss,
-            )
-
-        return jax.lax.scan(body, state, order.astype(jnp.int32))
-
     return jax.jit(
-        pool_epoch,
+        make_pool_epoch_fn(model, loss_fn),
         in_shardings=(None, pool_sh, repl, repl),
         donate_argnums=(0,),
     )

@@ -318,21 +318,16 @@ def make_multi_train_step(
     return multi_step
 
 
-def make_pool_train_step(
+def make_pool_epoch_fn(
     model,
     loss_fn: Callable[[jax.Array, GraphBatch], jax.Array],
 ):
-    """One WHOLE EPOCH per device dispatch: lax.scan over a permutation
-    of a device-resident stacked batch pool.
+    """The UN-JITTED whole-epoch pool scan: lax.scan of train steps over
+    a permutation of a device-resident stacked batch pool. Shared body
+    for `make_pool_train_step` (single device / dp-replicated) and
+    `parallel.edge_partition.make_ep_pool_train_step` (edge-sharded jit),
+    so rng-stream and schedule semantics cannot drift between them."""
 
-    `stacked` is the pool with a leading batch axis (`stack_batches` of a
-    `materialized_batches` pool, device-put once); `order` is the epoch's
-    shuffled index vector. The scan body dynamically indexes the pool in
-    HBM — with device-resident pools this makes an epoch a single
-    dispatch (the remote tunnel costs ~25 ms per dispatch) and transfers
-    nothing but the order vector."""
-
-    @partial(jax.jit, donate_argnums=(0,))
     def pool_step(state: TrainState, stacked: GraphBatch, order, rng):
         def compute(params, batch_stats, batch, step_rng):
             out, mut = model.apply(
@@ -367,6 +362,21 @@ def make_pool_train_step(
         return jax.lax.scan(body, state, order.astype(jnp.int32))
 
     return pool_step
+
+
+def make_pool_train_step(
+    model,
+    loss_fn: Callable[[jax.Array, GraphBatch], jax.Array],
+):
+    """One WHOLE EPOCH per device dispatch (jitted `make_pool_epoch_fn`).
+
+    `stacked` is the pool with a leading batch axis (`stack_batches` of a
+    `materialized_batches` pool, device-put once); `order` is the epoch's
+    shuffled index vector. The scan body dynamically indexes the pool in
+    HBM — with device-resident pools this makes an epoch a single
+    dispatch (the remote tunnel costs ~25 ms per dispatch) and transfers
+    nothing but the order vector."""
+    return jax.jit(make_pool_epoch_fn(model, loss_fn), donate_argnums=(0,))
 
 
 # keep-fraction of the models' BatchNorm EMA (MaskedBatchNorm uses

@@ -321,19 +321,14 @@ def main():
             )
             state, ep_losses = dp_pool_step(state, pool, order, rng)
             train_loss = float(jnp.mean(ep_losses))
-        elif mesh is not None:  # ep: same schedule as single-device
-            pool = stacked_pools[(epoch - 1) % len(stacked_pools)]
-            order = jnp.asarray(
-                data_rng.permutation(num_train_batches), jnp.int32
-            )
-            state, ep_losses = ep_pool_step(state, pool, order, rng)
-            train_loss = float(jnp.mean(ep_losses))
         else:
+            # single-device and ep share the schedule; only the step differs
+            step_fn = ep_pool_step if mesh is not None else pool_train_step
             pool = stacked_pools[(epoch - 1) % len(stacked_pools)]
             order = jnp.asarray(
                 data_rng.permutation(num_train_batches), jnp.int32
             )
-            state, ep_losses = pool_train_step(state, pool, order, rng)
+            state, ep_losses = step_fn(state, pool, order, rng)
             train_loss = float(jnp.mean(ep_losses))
         if args.bn_eval == "running":
             # re-estimate BN running stats with frozen params before eval
