@@ -6,13 +6,24 @@ NestedGIN_eff — the reference's headline workload, `zinc_models.py:
 504-611`) prints LAST:
   {"metric": ..., "value": N, "unit": "edges/s", "vs_baseline": N}
 
-`vs_baseline` for the flagship divides by ROUND1_MEASURED_EDGES_PER_S —
-this framework's round-1 measured value of the same metric on the same
-chip (BASELINE.md "Measured numbers", 2026-08-20), so the ratio tracks
-regression/progress against a real measurement. (Earlier rounds divided
-by a provisional unmeasured A100 PyG estimate; that invented denominator
-is gone.) Secondary models report vs_baseline = null: no prior
-measurement exists yet.
+`vs_baseline` divides by THIS framework's prior-round measured value of
+the same metric on the same chip (flagship: round 1, BASELINE.md
+"Measured numbers"; secondary models: BENCH_r02.json), so the ratio
+tracks regression/progress against a real measurement. (Earlier rounds
+divided by a provisional unmeasured A100 PyG estimate; that invented
+denominator is gone.)
+
+Every line also carries:
+  * `flops_per_step` — HLO-level FLOPs of the compiled train step
+    (fwd + bwd + optimizer), from
+    `jit(step).lower(...).compile().cost_analysis()`;
+  * `mfu` — flops_per_step / measured step time / chip peak bf16
+    FLOP/s (null when the chip's peak is unknown, e.g. CPU smoke);
+  * `ms_per_step` (mean over scan windows), `ms_per_step_std`, and
+    `windows` — ≥3 timed windows of the same on-device scan, so
+    regressions are distinguishable from tunnel noise. `value` is
+    derived from the MEAN window; `value_best` keeps the best-window
+    number that earlier rounds reported.
 
 Set BENCH_ONLY=flagship to skip the secondary models (each costs one
 jit compile — 25-150 s over the remote-compile tunnel on first run).
@@ -32,6 +43,45 @@ SMOKE = os.environ.get("BENCH_SMOKE") == "1"
 
 # Round-1 measured flagship throughput on this chip (BASELINE.md).
 ROUND1_MEASURED_EDGES_PER_S = 8_950_718.0
+
+# Round-2 measured secondary-model throughputs on this chip
+# (BENCH_r02.json, 2026-08-21) — the denominators for their vs_baseline.
+ROUND2_MEASURED = {
+    "counting_ppgn_eff_trainstep_edges_per_s_per_chip": 731_671.3,
+    "zinc_gps_trainstep_edges_per_s_per_chip": 868_160.9,
+    "molhiv_ogbgnn_trainstep_edges_per_s_per_chip": 580_413.8,
+    "zinc_i2gnn_trainstep_copyedges_per_s_per_chip": 4_379_168.9,
+}
+
+# Peak dense bf16 FLOP/s per chip, by jax device_kind. v5e: 197 TFLOP/s
+# (public spec). MFU is null on device kinds not listed here (CPU smoke).
+PEAK_BF16_FLOPS = {
+    "TPU v5 lite": 197e12,
+    "TPU v5e": 197e12,
+}
+
+
+def device_peak_flops():
+    import jax
+
+    kind = jax.devices()[0].device_kind
+    for k, v in PEAK_BF16_FLOPS.items():
+        if k.lower() in kind.lower() or kind.lower() in k.lower():
+            return v
+    return None
+
+
+def flops_per_step(step, state, batch, rng):
+    """HLO FLOPs of the compiled single train step (fwd+bwd+optimizer),
+    via XLA's cost analysis on the already-compiled executable."""
+    try:
+        ca = step.lower(state, batch, rng).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        f = float(ca.get("flops", 0.0))
+        return f if f > 0 else None
+    except Exception:
+        return None
 
 
 def _raw_zinc_graphs(num, seed):
@@ -116,11 +166,12 @@ def make_molhiv_like_graphs(num=32, seed=0):
                                             self_loop=True), num_workers=8)
 
 
-def scan_time(step, state, batch, rng, n_iter):
-    """Best-of-3 wall time of an n_iter on-device lax.scan of the train
-    step (per-dispatch tunnel latency ~25 ms would otherwise dominate;
-    the final float() forces a scalar transfer — block_until_ready does
-    not reliably wait over the tunnel)."""
+def scan_time(step, state, batch, rng, n_iter, windows=3):
+    """Wall times of `windows` repeats of an n_iter on-device lax.scan of
+    the train step (per-dispatch tunnel latency ~25 ms would otherwise
+    dominate; the final float() forces a scalar transfer —
+    block_until_ready does not reliably wait over the tunnel). Returns
+    the list of window times so callers can report mean ± std."""
     from functools import partial
 
     import jax
@@ -135,13 +186,37 @@ def scan_time(step, state, batch, rng, n_iter):
 
     state, losses = scan_steps(state, batch, rng)
     float(losses[-1])  # compile + warm
-    best = float("inf")
-    for _ in range(3):
+    times = []
+    for _ in range(windows):
         t0 = time.perf_counter()
         state, losses = scan_steps(state, batch, rng)
         float(losses[-1])
-        best = min(best, time.perf_counter() - t0)
-    return best, state, scan_steps
+        times.append(time.perf_counter() - t0)
+    return times, state, scan_steps
+
+
+def perf_fields(times, n_iter, real_edges, fps, peak):
+    """edges/s + step-time + MFU fields shared by every bench line."""
+    mean_t = float(np.mean(times))
+    std_t = float(np.std(times))
+    ms = mean_t / n_iter * 1e3
+    fields = {
+        "value": round(real_edges * n_iter / mean_t, 1),
+        "value_best": round(real_edges * n_iter / min(times), 1),
+        "value_std": round(
+            real_edges * n_iter / mean_t * (std_t / mean_t), 1
+        ),
+        "ms_per_step": round(ms, 4),
+        "ms_per_step_std": round(std_t / n_iter * 1e3, 4),
+        "windows": len(times),
+        "flops_per_step": fps,
+        "mfu": (
+            round(fps / (mean_t / n_iter) / peak, 4)
+            if fps and peak
+            else None
+        ),
+    }
+    return fields
 
 
 def bench_model(name, graphs, spec, model, loss_fn, n_iter,
@@ -166,9 +241,10 @@ def bench_model(name, graphs, spec, model, loss_fn, n_iter,
     step = make_train_step(model, loss_fn)
     state, loss = step(state, batch, jax.random.key(1))
     float(loss)
-    dt, state, _ = scan_time(step, state, batch, jax.random.key(1), n_iter)
-    edges_per_s = real_edges * n_iter / dt
-    return edges_per_s
+    fps = flops_per_step(step, state, batch, jax.random.key(1))
+    times, state, _ = scan_time(step, state, batch, jax.random.key(1),
+                                n_iter)
+    return perf_fields(times, n_iter, real_edges, fps, device_peak_flops())
 
 
 def run_secondary(counting_graphs, gps_graphs, ogb_graphs, i2_graphs):
@@ -191,12 +267,12 @@ def run_secondary(counting_graphs, gps_graphs, ogb_graphs, i2_graphs):
         emb_dim=128, num_rb_layers=3,
         max_nodes=spec.max_nodes_per_graph, node_level=True, use_esc=True,
     ))
-    eps = bench_model("ppgn", graphs, spec, model, l1_node_loss, n_ppgn,
-                      node_level=True)
-    lines.append({
-        "metric": "counting_ppgn_eff_trainstep_edges_per_s_per_chip",
-        "value": round(eps, 1), "unit": "edges/s", "vs_baseline": None,
-    })
+    f = bench_model("ppgn", graphs, spec, model, l1_node_loss, n_ppgn,
+                    node_level=True)
+    lines.append(dict(
+        metric="counting_ppgn_eff_trainstep_edges_per_s_per_chip",
+        unit="edges/s", **f,
+    ))
 
     # --- GPS on ZINC shapes (zinc-GPS.yaml recipe)
     from escgnn_tpu.models.gps import GPSConfig, GPSModel
@@ -207,27 +283,31 @@ def run_secondary(counting_graphs, gps_graphs, ogb_graphs, i2_graphs):
         dim_h=64, num_layers=4, num_heads=4, use_esc=True,
         use_attn_bias=True, pool="add", out_dim=1,
     ))
-    eps = bench_model("gps", graphs, spec, model, l1_graph_loss, n_other)
-    lines.append({
-        "metric": "zinc_gps_trainstep_edges_per_s_per_chip",
-        "value": round(eps, 1), "unit": "edges/s", "vs_baseline": None,
-    })
+    f = bench_model("gps", graphs, spec, model, l1_graph_loss, n_other)
+    lines.append(dict(
+        metric="zinc_gps_trainstep_edges_per_s_per_chip",
+        unit="edges/s", **f,
+    ))
 
     # --- OGB GNN on molhiv shapes (reference README molhiv config: h=4,
     # 6 layers, emb 300, virtual node)
     from escgnn_tpu.models.ogb_gnn import OgbGNN, OgbGNNConfig
 
     graphs = ogb_graphs
-    spec = BatchSpec.from_graphs(graphs, batch_size=len(graphs))
+    # flagship playbook applied (round 3): uniform per-graph blocks
+    # (einsum message passing), dedup ESC row layout (z MLP on unique
+    # rows), bf16 conv stacks
+    spec = BatchSpec.uniform(graphs, batch_size=len(graphs),
+                             enc_layout="dedup")
     model = OgbGNN(OgbGNNConfig(
         num_tasks=1, num_layers=6, emb_dim=300, dropout=0.0,
-        virtual_node=True,
+        virtual_node=True, compute_dtype="bfloat16",
     ))
-    eps = bench_model("ogb", graphs, spec, model, bce_graph_loss, n_other)
-    lines.append({
-        "metric": "molhiv_ogbgnn_trainstep_edges_per_s_per_chip",
-        "value": round(eps, 1), "unit": "edges/s", "vs_baseline": None,
-    })
+    f = bench_model("ogb", graphs, spec, model, bce_graph_loss, n_other)
+    lines.append(dict(
+        metric="molhiv_ogbgnn_trainstep_edges_per_s_per_chip",
+        unit="edges/s", **f,
+    ))
 
     # --- I2GNN on its pair-subgraph copies (reference zinc_models.py
     # I2GNN + utils_edge_I2.py transform; edges/s on the copy union)
@@ -239,11 +319,16 @@ def run_secondary(counting_graphs, gps_graphs, ogb_graphs, i2_graphs):
         num_layers=3, hidden=64, use_rd=True,
         subgraph2_pooling="mean-center-side", gate=True, out_dim=1,
     ))
-    eps = bench_model("i2gnn", graphs, spec, model, l1_graph_loss, n_ppgn)
-    lines.append({
-        "metric": "zinc_i2gnn_trainstep_copyedges_per_s_per_chip",
-        "value": round(eps, 1), "unit": "edges/s", "vs_baseline": None,
-    })
+    f = bench_model("i2gnn", graphs, spec, model, l1_graph_loss, n_ppgn)
+    lines.append(dict(
+        metric="zinc_i2gnn_trainstep_copyedges_per_s_per_chip",
+        unit="edges/s", **f,
+    ))
+    for line in lines:
+        base = ROUND2_MEASURED.get(line["metric"])
+        line["vs_baseline"] = (
+            round(line["value"] / base, 3) if base else None
+        )
     return lines
 
 
@@ -322,9 +407,11 @@ def main():
     step = make_train_step(model, l1_graph_loss)
     state, loss = step(state, batch, rng)
     float(loss)
+    fps = flops_per_step(step, state, batch, rng)
 
     n_iter = 20 if SMOKE else 400
-    dt, state, scan_steps = scan_time(step, state, batch, rng, n_iter)
+    times, state, scan_steps = scan_time(step, state, batch, rng, n_iter,
+                                         windows=5)
 
     # optional post-timing jax.profiler trace (tools/profile_step.py)
     profile_dir = os.environ.get("BENCH_PROFILE_DIR")
@@ -333,17 +420,18 @@ def main():
             state, losses = scan_steps(state, batch, rng)
             float(losses[-1])
 
-    edges_per_s = real_edges * n_iter / dt
+    fields = perf_fields(times, n_iter, real_edges, fps,
+                         device_peak_flops())
     print(
         json.dumps(
-            {
-                "metric": "zinc_nestedgin_eff_trainstep_edges_per_s_per_chip",
-                "value": round(edges_per_s, 1),
-                "unit": "edges/s",
-                "vs_baseline": round(
-                    edges_per_s / ROUND1_MEASURED_EDGES_PER_S, 3
+            dict(
+                metric="zinc_nestedgin_eff_trainstep_edges_per_s_per_chip",
+                unit="edges/s",
+                **fields,
+                vs_baseline=round(
+                    fields["value"] / ROUND1_MEASURED_EDGES_PER_S, 3
                 ),
-            }
+            )
         )
     )
 

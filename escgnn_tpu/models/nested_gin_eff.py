@@ -21,6 +21,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -100,7 +101,6 @@ class NestedGINEff(nn.Module):
         edge_ax = cfg.halo_axis or cfg.edge_shard_axis
         halo_ctx = None
         if cfg.halo_axis is not None:
-            assert not cfg.graph_pred, "halo mode supports node-level heads"
             halo_ctx = {
                 "boundary_send": batch.extras["halo_boundary_send"],
                 "halo_src": batch.extras["halo_src"],
@@ -223,17 +223,43 @@ class NestedGINEff(nn.Module):
         h = jnp.concatenate([a.astype(cdt) for a in xs], axis=-1)
 
         # --- head ---
+        head_ax = node_ax
         if cfg.graph_pred:
-            h = pool_nodes_to_graphs(
-                h, batch, reduce="sum" if cfg.pool == "add" else "mean"
-            )
+            if cfg.halo_axis is not None:
+                # node rows are range-sharded: pool LOCAL partial
+                # per-graph sums (node_graph carries global graph ids),
+                # then one psum makes the (G, .) rows exact and
+                # REPLICATED — the head below runs identically on every
+                # shard, so its BN must NOT psum (axis None keeps the
+                # batch statistics bit-equal to the single-device step)
+                G = batch.graph_mask.shape[0]
+                hf = jnp.where(node_mask[:, None], h.astype(jnp.float32), 0.0)
+                s = jax.lax.psum(
+                    jax.ops.segment_sum(hf, batch.node_graph, G),
+                    cfg.halo_axis,
+                )
+                if cfg.pool == "add":
+                    h = s
+                else:
+                    cnt = jax.lax.psum(
+                        jax.ops.segment_sum(
+                            node_mask.astype(jnp.float32), batch.node_graph, G
+                        ),
+                        cfg.halo_axis,
+                    )
+                    h = s / jnp.maximum(cnt, 1.0)[:, None]
+                head_ax = None
+            else:
+                h = pool_nodes_to_graphs(
+                    h, batch, reduce="sum" if cfg.pool == "add" else "mean"
+                )
             head_mask = batch.graph_mask
         else:
             head_mask = node_mask
         h = h.astype(jnp.float32)
 
         h = TorchDense(H, name="lin1")(h)
-        h = MaskedBatchNorm(axis_name=node_ax, name="bn_lin1")(
+        h = MaskedBatchNorm(axis_name=head_ax, name="bn_lin1")(
             h, head_mask, use_running_average
         )
         if cfg.head_order == "act_dropout":

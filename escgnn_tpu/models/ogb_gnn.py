@@ -23,18 +23,29 @@ from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from escgnn_tpu.data.container import GraphBatch
-from escgnn_tpu.models.layers import MLP, MaskedBatchNorm, TorchDense
+from escgnn_tpu.models.layers import (
+    MLP,
+    MaskedBatchNorm,
+    TorchDense,
+    _dense_local_aggregate,
+)
 from escgnn_tpu.ops.segment import (
+    pool_nodes_to_graphs,
     segment_max,
     segment_mean,
     segment_min,
     segment_softmax,
     segment_sum,
 )
-from escgnn_tpu.ops.zemb import zemb_from_batch
+from escgnn_tpu.ops.zemb import (
+    expand_rows,
+    zemb_from_batch,
+    zemb_unique_rows,
+)
 
 # OGB categorical vocab sizes (ogb.utils.features get_atom/bond_feature_dims)
 ATOM_FEATURE_DIMS = (119, 4, 12, 12, 10, 6, 6, 2, 2)
@@ -42,25 +53,42 @@ BOND_FEATURE_DIMS = (5, 6, 2)
 
 
 class FeatureSumEncoder(nn.Module):
-    """Sum of one embedding table per categorical feature column."""
+    """Sum of one embedding table per categorical feature column.
+
+    TPU layout: the sum of per-column lookups is ONE count-matrix
+    matmul. Column ids are offset into a concatenated vocabulary, the
+    (N, V_total) 0/1 indicator C is built by a broadcast compare, and
+    out = C @ concat(tables) — forward AND backward (C^T @ dY) are
+    single MXU matmuls. nn.Embed's gather would transpose to a serial
+    per-row scatter-add: profiled ~45 us per table gradient on the
+    molhiv train step, 27 tables = ~0.9 ms/step, the single largest
+    cost of the un-optimized OgbGNN path. Param paths stay
+    `emb_{i}/embedding` (xavier_uniform, as in OGB's encoders)."""
 
     vocab_sizes: Sequence[int]
     emb_dim: int
 
     @nn.compact
     def __call__(self, feats):  # (N, num_feats) int
-        out = 0.0
-        for i, vocab in enumerate(self.vocab_sizes):
-            emb = nn.Embed(
-                vocab,
-                self.emb_dim,
-                embedding_init=nn.initializers.variance_scaling(
-                    1.0, "fan_avg", "uniform"
-                ),  # xavier_uniform, as in OGB's encoders
-                name=f"emb_{i}",
-            )
-            out = out + emb(feats[:, i].astype(jnp.int32))
-        return out
+        init = nn.initializers.variance_scaling(1.0, "fan_avg", "uniform")
+        tables = [
+            self.param(
+                f"emb_{i}",
+                lambda key, shape: {"embedding": init(key, shape)},
+                (vocab, self.emb_dim),
+            )["embedding"]
+            for i, vocab in enumerate(self.vocab_sizes)
+        ]
+        stacked = jnp.concatenate(tables, axis=0)  # (V_total, d)
+        offs = np.concatenate(
+            [[0], np.cumsum(self.vocab_sizes[:-1])]
+        ).astype(np.int32)
+        ids = feats.astype(jnp.int32) + offs[None, :]  # (N, F) global ids
+        V = int(np.sum(self.vocab_sizes))
+        C = (
+            ids[:, :, None] == jnp.arange(V, dtype=jnp.int32)[None, None, :]
+        ).astype(stacked.dtype).sum(axis=1)  # (N, V) counts
+        return jnp.matmul(C, stacked, preferred_element_type=jnp.float32)
 
 
 class GINConvEff(nn.Module):
@@ -72,6 +100,12 @@ class GINConvEff(nn.Module):
 
     emb_dim: int
     float_edge_attr: bool = False
+    # uniform per-graph block layout (batch.nodes_per_graph): gather and
+    # scatter run as per-graph one-hot einsums on the MXU instead of a
+    # global take + segment_sum — the flagship NestedGIN_eff playbook
+    # (models/layers.py `_dense_local_aggregate`); opt in via
+    # BatchSpec.uniform
+    uniform_nodes: Optional[int] = None
 
     @nn.compact
     def __call__(
@@ -89,11 +123,17 @@ class GINConvEff(nn.Module):
                 BOND_FEATURE_DIMS, self.emb_dim, name="edge_encoder"
             )(edge_attr)
         e = e + TorchDense(self.emb_dim, name="edge_encoder_pos")(z_emb)
-        msg = nn.relu(jnp.take(x, senders, axis=0) + e)
-        agg = segment_sum(
-            msg, receivers, num_segments=x.shape[0], mask=edge_mask,
-            indices_are_sorted=True,
-        )
+        if self.uniform_nodes is not None:
+            agg = _dense_local_aggregate(
+                x, senders, receivers, e.astype(x.dtype), edge_mask,
+                self.uniform_nodes,
+            )
+        else:
+            msg = nn.relu(jnp.take(x, senders, axis=0) + e)
+            agg = segment_sum(
+                msg, receivers, num_segments=x.shape[0], mask=edge_mask,
+                indices_are_sorted=True,
+            )
         h = (1.0 + eps) * x + agg
         # mlp: Linear(d, 2d) -> BN -> ReLU -> Linear(2d, d); node_mask
         # keeps padding rows out of the training batch statistics
@@ -126,6 +166,9 @@ class OgbGNNConfig:
     rni: bool = False
     # feed raw batch.x as h0 (ogbg-ppa-style, `ogb_mol_gnn.py:705-708`)
     skip_node_encoder: bool = False
+    # float32 | bfloat16 conv stacks (f32 master params, f32 BN stats and
+    # head) — the flagship NestedGIN_eff precision recipe
+    compute_dtype: str = "float32"
     # ogbg-ppa featurization (reference encoder/ppa_encoder.py): one
     # uniform learned node embedding (no node features) and a linear
     # encoder on the 7-dim float edge features
@@ -186,11 +229,22 @@ class GNNNodeEfficient(nn.Module):
         z_table = self.param(
             "z_initial", nn.initializers.normal(1.0), (cfg.z_dim, d)
         )
-        z_emb = zemb_from_batch(z_table, batch)
-        z_emb = MLP(
+        z_mlp = MLP(
             features=(d,), dropout=cfg.dropout, act=nn.relu, pre_act=True,
             name="z_embedding",
-        )(z_emb, edge_mask, **kw)
+        )
+        # dedup layout, no dropout: z MLP on the R unique encoding rows
+        # with multiplicity-weighted BN (bit-identical statistics), then
+        # one expand to edges — the flagship recipe
+        # (models/nested_gin_eff.py). Dropout would correlate edges that
+        # share a row, hence the gate.
+        u = zemb_unique_rows(z_table, batch) if cfg.dropout == 0.0 else None
+        if u is not None and getattr(batch, "enc_row_weight", None) is not None:
+            u = z_mlp(u, batch.enc_row_weight, **kw)
+            z_emb = expand_rows(u, batch)
+        else:
+            z_emb = zemb_from_batch(z_table, batch)
+            z_emb = z_mlp(z_emb, edge_mask, **kw)
 
         if cfg.virtual_node:
             vn = jnp.zeros((G, d), h.dtype) + self.param(
@@ -210,20 +264,39 @@ class GNNNodeEfficient(nn.Module):
                 node_mask, batch.node_segment, batch.segment_mask.shape[0]
             )
 
+        cdt = (
+            jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+        )
+        uniform_nodes = (
+            None
+            if batch.node_segment is not None
+            else getattr(batch, "nodes_per_graph", None)
+        )
         h_list = [h]
         for layer in range(cfg.num_layers):
             hcur = h_list[layer]
             if cfg.virtual_node:
-                vn_nodes = jnp.take(vn, batch.node_graph, axis=0)
+                if uniform_nodes is not None and N == G * uniform_nodes:
+                    # uniform blocks: the broadcast is a reshape, whose
+                    # transpose is a fast axis-1 reduction — jnp.take's
+                    # transpose is a serial scatter-add (~86 us/layer
+                    # profiled on the molhiv step)
+                    vn_nodes = jnp.broadcast_to(
+                        vn[:, None, :], (G, uniform_nodes, d)
+                    ).reshape(N, d)
+                else:
+                    vn_nodes = jnp.take(vn, batch.node_graph, axis=0)
                 if center_vn:
                     vn_nodes = jnp.where(is_root[:, None], vn_nodes, 0.0)
                 hcur = hcur + vn_nodes
                 h_list[layer] = hcur
             h = GINConvEff(
-                d, float_edge_attr=cfg.ppa_encoders, name=f"conv{layer}"
+                d, float_edge_attr=cfg.ppa_encoders,
+                uniform_nodes=uniform_nodes, name=f"conv{layer}"
             )(
-                hcur, batch.senders, batch.receivers, batch.edge_attr,
-                z_emb, edge_mask, node_mask, **kw,
+                hcur.astype(cdt), batch.senders, batch.receivers,
+                batch.edge_attr, z_emb.astype(cdt), edge_mask, node_mask,
+                **kw,
             )
             h = MaskedBatchNorm(name=f"batch_norm{layer}")(
                 h, node_mask, use_running_average
@@ -240,9 +313,7 @@ class GNNNodeEfficient(nn.Module):
 
             if cfg.virtual_node and layer < cfg.num_layers - 1:
                 vn_tmp = (
-                    segment_sum(
-                        h_list[layer], batch.node_graph, G, mask=node_mask
-                    )
+                    pool_nodes_to_graphs(h_list[layer], batch, reduce="sum")
                     + vn
                 )
                 vn_new = MLP(
@@ -307,9 +378,15 @@ class OgbGNN(nn.Module):
             ids, mask = batch.segment_graph, batch.segment_mask
 
         if cfg.graph_pooling == "sum":
-            g = segment_sum(h, ids, G, mask=mask)
+            if batch.node_segment is None:
+                g = pool_nodes_to_graphs(h, batch, reduce="sum")
+            else:
+                g = segment_sum(h, ids, G, mask=mask)
         elif cfg.graph_pooling == "mean":
-            g = segment_mean(h, ids, G, mask=mask)
+            if batch.node_segment is None:
+                g = pool_nodes_to_graphs(h, batch, reduce="mean")
+            else:
+                g = segment_mean(h, ids, G, mask=mask)
         elif cfg.graph_pooling == "max":
             g = segment_max(h, ids, G, mask=mask)
         elif cfg.graph_pooling == "attention":

@@ -171,6 +171,64 @@ def shard_pool_by_edges(stacked_pool, mesh: Mesh, axis: str = "model"):
     return jax.tree.map(jax.device_put, stacked_pool, shardings)
 
 
+def shard_pool_2d(
+    stacked_pool,
+    mesh: Mesh,
+    data_axis: str = "data",
+    model_axis: str = "model",
+):
+    """Device-put a [B, ...]-stacked batch pool with 2-D dp x ep
+    shardings: node/graph rows split over `data_axis` (axis 1 of the
+    stacked arrays), edge arrays split over BOTH axes. Drops the
+    sorted-CSR expansion view like `shard_batch_by_edges`."""
+    stacked_pool = stacked_pool.replace(
+        enc_edge_perm=None, enc_row_sorted=None
+    )
+    shardings = _batch_shardings(
+        stacked_pool, mesh,
+        edge_spec=P(None, (data_axis, model_axis)),
+        row_spec=P(None, data_axis),
+    )
+    return jax.tree.map(jax.device_put, stacked_pool, shardings)
+
+
+def make_dp_ep_pool_train_step(
+    model,
+    loss_fn: Callable,
+    mesh: Mesh,
+    example_pool: GraphBatch,
+    data_axis: str = "data",
+    model_axis: str = "model",
+):
+    """Whole-epoch 2-D dp x ep training in ONE dispatch: the
+    `make_ep_pool_train_step` scan with `shard_pool_2d` shardings —
+    node/graph rows split over the data axis, edges over data x model.
+    GSPMD inserts the data-axis psums (loss/BN reductions) and
+    model-axis psums (per-node scatter-adds), so each step is
+    numerically the single-device step up to fp reduction order
+    (tests/test_driver_mesh.py). The driver-facing `--mesh dp_ep` path.
+
+    Returns train_epoch(state, stacked_pool, order, rng) ->
+    (state, losses); `state` must be replicated over the mesh.
+    """
+    from escgnn_tpu.train.loop import make_pool_epoch_fn
+
+    example_pool = example_pool.replace(
+        enc_edge_perm=None, enc_row_sorted=None
+    )
+    pool_sh = _batch_shardings(
+        example_pool, mesh,
+        edge_spec=P(None, (data_axis, model_axis)),
+        row_spec=P(None, data_axis),
+    )
+    repl = NamedSharding(mesh, P())
+    return jax.jit(
+        make_pool_epoch_fn(model, loss_fn),
+        in_shardings=(None, pool_sh, repl, repl),
+        donate_argnums=(0,),
+    )
+
+
 def make_ep_pool_train_step(
     model,
     loss_fn: Callable,

@@ -66,8 +66,19 @@ class HaloPlan:
         return self.senders.shape[1]
 
 
-def plan_halo_sharding(batch: GraphBatch, num_devices: int) -> HaloPlan:
-    """Partition a padded batch's edges by receiver range (host side)."""
+def plan_halo_sharding(
+    batch: GraphBatch,
+    num_devices: int,
+    edge_budget: int = 0,
+    boundary_budget: int = 0,
+    halo_budget: int = 0,
+) -> HaloPlan:
+    """Partition a padded batch's edges by receiver range (host side).
+
+    The optional budgets override the computed E_shard / B_max / H_max
+    (each is raised to at least the computed value): planning a POOL of
+    batches with shared budgets gives every halo batch identical shapes,
+    so one compiled train step serves the whole epoch."""
     N = batch.num_nodes
     D = num_devices
     assert N % D == 0, (N, D)
@@ -80,6 +91,7 @@ def plan_halo_sharding(batch: GraphBatch, num_devices: int) -> HaloPlan:
     owner_e = receivers // nps  # receivers sorted => shards are contiguous
     counts = np.bincount(owner_e, minlength=D)
     E_shard = int(-(-int(counts.max()) // 8) * 8)
+    E_shard = max(E_shard, int(edge_budget))
 
     s_l = np.zeros((D, E_shard), np.int32)
     r_l = np.zeros((D, E_shard), np.int32)
@@ -109,7 +121,7 @@ def plan_halo_sharding(batch: GraphBatch, num_devices: int) -> HaloPlan:
         halo_global.append(halo_ids)
 
     H_max = max((len(h) for h in halo_global), default=0)
-    H_max = max(int(-(-H_max // 8) * 8), 8)
+    H_max = max(int(-(-H_max // 8) * 8), 8, int(halo_budget))
     # boundary sets: rows owned by d that other devices request
     boundary: list[np.ndarray] = []
     for d in range(D):
@@ -121,7 +133,7 @@ def plan_halo_sharding(batch: GraphBatch, num_devices: int) -> HaloPlan:
         )
         boundary.append(req)
     B_max = max((len(b) for b in boundary), default=0)
-    B_max = max(int(-(-B_max // 8) * 8), 8)
+    B_max = max(int(-(-B_max // 8) * 8), 8, int(boundary_budget))
     b_send = np.zeros((D, B_max), np.int32)
     pos_of: dict[int, int] = {}
     for d in range(D):
@@ -303,6 +315,7 @@ def build_halo_batch(batch: GraphBatch, plan: HaloPlan) -> GraphBatch:
         "(BatchSpec(..., enc_layout='width')): per-edge rows shard exactly"
     )
     D, nps = plan.num_devices, plan.nodes_per_shard
+    N = batch.node_mask.shape[0]
 
     def node_shard(a):
         return None if a is None else np.asarray(a).reshape(
@@ -314,22 +327,37 @@ def build_halo_batch(batch: GraphBatch, plan: HaloPlan) -> GraphBatch:
             plan, np.asarray(a)
         )
 
+    def graph_rep(a):
+        return None if a is None else np.broadcast_to(
+            np.asarray(a), (D,) + np.asarray(a).shape
+        )
+
+    # y may be node-aligned (node-level heads) or graph-aligned
+    # (graph-level heads: replicated targets, local pool psum'd globally
+    # inside the model — see NestedGINEff halo_axis + graph_pred)
+    y = None
+    if batch.y is not None:
+        y = (
+            node_shard(batch.y)
+            if np.asarray(batch.y).shape[0] == N
+            else graph_rep(batch.y)
+        )
+
     return GraphBatch(
         x=node_shard(batch.x),
-        y=node_shard(batch.y),
+        y=y,
         pos=node_shard(batch.pos),
         node_mask=node_shard(batch.node_mask),
+        # node_graph carries GLOBAL graph ids per local node row — the
+        # graph-level pool segments into the replicated (G,) slots
+        node_graph=node_shard(batch.node_graph),
         senders=plan.senders,
         receivers=plan.receivers,
         edge_mask=plan.edge_mask,
         edge_attr=edge_shard(batch.edge_attr),
         enc_idx=edge_shard(batch.enc_idx),
         enc_cnt=edge_shard(batch.enc_cnt),
-        # graph-level assignments are meaningless per shard (graphs can
-        # straddle range boundaries); halo mode is node-level only
-        graph_mask=np.broadcast_to(
-            np.asarray(batch.graph_mask), (D,) + batch.graph_mask.shape
-        ),
+        graph_mask=graph_rep(batch.graph_mask),
         extras={
             "halo_boundary_send": plan.boundary_send,
             "halo_src": plan.halo_src,
@@ -337,19 +365,28 @@ def build_halo_batch(batch: GraphBatch, plan: HaloPlan) -> GraphBatch:
     )
 
 
-def make_halo_nested_train_step(model, mesh: Mesh, axis: str = "model"):
+def make_halo_nested_train_step(
+    model, mesh: Mesh, axis: str = "model", graph_loss_fn=None
+):
     """Train the REAL flagship model (NestedGINEff with
     `cfg.halo_axis=axis`) under receiver-range node+edge sharding:
     z-emb width path on local edge shards, every MaskedBatchNorm
     psum-reducing masked statistics to the global moments, per-conv
-    boundary all_gather, JK + node-level head on local rows.
+    boundary all_gather, JK + head.
 
-    Loss: masked L1 over nodes, exact global (local contribution
-    divided by the psum'd count, then psum'd — same value as
-    `train.loop.l1_node_loss` on the unsharded batch). Gradients psum
-    to the exact global gradient; the replicated optimizer update runs
-    identically on every shard, so the step is numerically equivalent
-    to the single-device step (tests/test_halo.py asserts allclose).
+    Loss, node-level heads (graph_loss_fn=None): masked L1 over nodes,
+    exact global (local contribution divided by the psum'd count, then
+    psum'd — same value as `train.loop.l1_node_loss` on the unsharded
+    batch). Graph-level heads (graph_loss_fn given, model built with
+    `graph_pred=True`): the model's pool psums local per-graph partial
+    sums so `out` is replicated; the local loss is the FULL
+    graph_loss_fn(out, batch) divided by D — psum'd back to the exact
+    global loss, and (because psum's transpose psums the replicated
+    cotangent, restoring the 1/D) the psum'd gradients are exact for
+    both head and body parameters. Gradients psum to the exact global
+    gradient; the replicated optimizer update runs identically on every
+    shard, so the step is numerically equivalent to the single-device
+    step (tests/test_halo.py asserts allclose).
 
     Returns step(state, halo_batch, rng) -> (state, loss) where
     `halo_batch` comes from `build_halo_batch` (leading device axis,
@@ -364,6 +401,7 @@ def make_halo_nested_train_step(model, mesh: Mesh, axis: str = "model"):
         cnt = jax.lax.psum(
             jnp.sum(batch.node_mask.astype(jnp.float32)), axis
         )
+        D = jax.lax.psum(1.0, axis)
 
         def compute(params):
             out, mut = model.apply(
@@ -374,6 +412,9 @@ def make_halo_nested_train_step(model, mesh: Mesh, axis: str = "model"):
                 mutable=["batch_stats"],
                 rngs={"dropout": rng},
             )
+            if graph_loss_fn is not None:
+                # replicated graph-level output: full loss / D (see doc)
+                return graph_loss_fn(out, batch) / D, mut["batch_stats"]
             err = jnp.abs(out - batch.y)
             err = err * batch.node_mask.astype(err.dtype)[:, None]
             # LOCAL contribution to the global masked mean (psum'd below;

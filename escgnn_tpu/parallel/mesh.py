@@ -20,9 +20,18 @@ from escgnn_tpu.data.container import GraphBatch
 
 
 def make_mesh(
-    n_devices: Optional[int] = None, axis_names: Sequence[str] = ("data",)
+    n_devices: Optional[int] = None,
+    axis_names: Sequence[str] = ("data",),
+    shape: Optional[Sequence[int]] = None,
 ) -> Mesh:
+    """`shape` gives a true multi-axis factorization (e.g. (2, 4) for a
+    2-D dp x ep mesh); by default all devices land on the first axis."""
     devs = jax.devices()
+    if shape is not None:
+        assert len(shape) == len(axis_names), (shape, axis_names)
+        n = int(np.prod(shape))
+        assert n <= len(devs), f"requested {n} devices, have {len(devs)}"
+        return Mesh(np.asarray(devs[:n]).reshape(tuple(shape)), axis_names)
     n = n_devices or len(devs)
     assert n <= len(devs), f"requested {n} devices, have {len(devs)}"
     shape = (n,) + (1,) * (len(axis_names) - 1)

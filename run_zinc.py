@@ -78,16 +78,23 @@ def main():
     p.add_argument("--bn_eval", default="running",
                choices=["batch", "running"],
                help="eval-time BN statistics (see make_eval_step)")
-    p.add_argument("--mesh", default="none", choices=["none", "dp", "ep"],
+    p.add_argument("--mesh", default="none",
+                   choices=["none", "dp", "ep", "halo", "dp_ep"],
                    help="train over a jax.sharding.Mesh: 'dp' = data "
                    "parallel (one batch per device per step; grads/loss/"
                    "BN stats pmean'd over ICI — the reference "
                    "DistributedSampler+DDP role, kernel/train_eval.py:44-57); "
                    "'ep' = edge partition (all devices cooperate on the "
                    "same batch; edge arrays GSPMD-sharded, partial "
-                   "scatter-adds psum'd — no reference analogue)")
+                   "scatter-adds psum'd — no reference analogue); "
+                   "'halo' = receiver-range node+edge sharding with a "
+                   "boundary all_gather per conv and the graph-level "
+                   "pool psum'd globally (parallel/halo.py); 'dp_ep' = "
+                   "2-D data x edge mesh (--mesh_dp = data-axis size)")
     p.add_argument("--mesh_devices", type=int, default=0,
                    help="device count for --mesh (0 = all visible)")
+    p.add_argument("--mesh_dp", type=int, default=2,
+                   help="data-axis size of the 2-D --mesh dp_ep mesh")
     args = p.parse_args()
 
     res_dir = args.res_dir or os.path.join(
@@ -154,7 +161,26 @@ def main():
     print(f"data: {time.time() - t0:.1f}s mean={mean:.3f} std={std:.3f}")
 
     all_graphs = [g for s in splits.values() for g in s]
-    if args.model == "NestedGIN_eff":
+    n_dev = (args.mesh_devices or len(jax.devices())) if (
+        args.mesh != "none"
+    ) else 0
+    if args.mesh == "halo":
+        import dataclasses as _dc
+
+        assert args.model == "NestedGIN_eff", (
+            "--mesh halo drives the NestedGIN_eff halo path"
+        )
+        # halo sharding requires the width enc layout (per-edge rows
+        # shard exactly) and a node budget divisible by the mesh
+        spec = BatchSpec.from_graphs(
+            all_graphs, args.batch_size, enc_layout="width"
+        )
+        if spec.num_nodes % n_dev:
+            spec = _dc.replace(
+                spec,
+                num_nodes=spec.num_nodes + n_dev - spec.num_nodes % n_dev,
+            )
+    elif args.model == "NestedGIN_eff":
         # uniform per-graph blocks + dedup ESC rows: the fast layout the
         # flagship bench uses (einsum message passing on the MXU, z-emb
         # reduce on unique histogram rows) — numerically equal to the
@@ -190,21 +216,20 @@ def main():
             subgraph2_pooling="mean-center-side", gate=True, out_dim=1,
         ))
     else:
-        model = NestedGINEff(
-            NestedGINEffConfig(
-                hidden=args.hidden,
-                num_layers=args.layers,
-                dropout=0.0,
-                act="elu",
-                graph_pred=True,
-                pool="add",
-                use_x_embedding_jk=False,
-                head_order="dropout_act",
-                node_embed_vocab=100,
-                edge_embed_vocab=100,
-                out_dim=1,
-            )
+        zcfg = NestedGINEffConfig(
+            hidden=args.hidden,
+            num_layers=args.layers,
+            dropout=0.0,
+            act="elu",
+            graph_pred=True,
+            pool="add",
+            use_x_embedding_jk=False,
+            head_order="dropout_act",
+            node_embed_vocab=100,
+            edge_embed_vocab=100,
+            out_dim=1,
         )
+        model = NestedGINEff(zcfg)
     rng = jax.random.key(args.seed)
     init_b = jax.tree.map(
         jnp.asarray, next(batch_iterator(splits["train"][:2], spec))
@@ -219,9 +244,15 @@ def main():
         from escgnn_tpu.parallel.data_parallel import replicate_state
         from escgnn_tpu.parallel.mesh import make_mesh, replicate
 
-        n_dev = args.mesh_devices or len(jax.devices())
-        axis_names = ("data",) if args.mesh == "dp" else ("model",)
-        mesh = make_mesh(n_dev, axis_names=axis_names)
+        if args.mesh == "dp_ep":
+            assert n_dev % args.mesh_dp == 0, (n_dev, args.mesh_dp)
+            mesh = make_mesh(
+                axis_names=("data", "model"),
+                shape=(args.mesh_dp, n_dev // args.mesh_dp),
+            )
+        else:
+            axis_names = ("data",) if args.mesh == "dp" else ("model",)
+            mesh = make_mesh(n_dev, axis_names=axis_names)
         state = replicate_state(state, mesh)
         assert not args.reshuffle_membership, (
             "--mesh uses device-resident pools"
@@ -234,6 +265,23 @@ def main():
             dp_pool_step = make_dp_pool_train_step(model, l1_graph_loss, mesh)
             print(f"mesh: dp over {n_dev} devices "
                   f"(effective batch {n_dev * args.batch_size})")
+        elif args.mesh == "halo":
+            import dataclasses as _dc
+
+            from escgnn_tpu.parallel.halo import (
+                make_halo_nested_train_step,
+            )
+
+            halo_model = NestedGINEff(_dc.replace(zcfg, halo_axis="model"))
+            halo_step = make_halo_nested_train_step(
+                halo_model, mesh, "model", graph_loss_fn=l1_graph_loss
+            )
+            print(f"mesh: halo over {n_dev} devices (receiver-range "
+                  f"node+edge shards, graph pool psum'd globally)")
+        elif args.mesh == "dp_ep":
+            print(f"mesh: dp_ep over {args.mesh_dp}x"
+                  f"{n_dev // args.mesh_dp} devices (graphs over data, "
+                  f"edges over data x model)")
         else:
             print(f"mesh: ep over {n_dev} devices "
                   f"(edge arrays sharded, batch {args.batch_size})")
@@ -251,7 +299,7 @@ def main():
     # ~216 MB/epoch), so per-epoch membership reshuffling is opt-in
     # (--reshuffle_membership: the reference's exact semantics, fresh
     # transfers each epoch). See stacked_batch_pools/stack_split.
-    if not args.reshuffle_membership:
+    if not args.reshuffle_membership and args.mesh != "halo":
         stacked_pools, num_train_batches = stacked_batch_pools(
             splits["train"], spec, k=args.membership_pools, seed=args.seed
         )
@@ -266,6 +314,41 @@ def main():
                 f"{num_train_batches}"
             )
             stacked_pools = [replicate(p, mesh) for p in stacked_pools]
+        elif args.mesh == "halo":
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from escgnn_tpu.parallel.halo import (
+                build_halo_batch,
+                plan_halo_sharding,
+            )
+
+            host_batches = list(batch_iterator(splits["train"], spec))
+            plans = [plan_halo_sharding(b, n_dev) for b in host_batches]
+            eb = max(p.edge_shard for p in plans)
+            bb = max(p.boundary_send.shape[1] for p in plans)
+            hbud = max(p.halo_src.shape[1] for p in plans)
+            sh = NamedSharding(mesh, P("model"))
+            halo_batches = [
+                jax.device_put(
+                    build_halo_batch(
+                        b, plan_halo_sharding(b, n_dev, eb, bb, hbud)
+                    ),
+                    sh,
+                )
+                for b in host_batches
+            ]
+            print(f"halo pool: {len(halo_batches)} batches, "
+                  f"E_shard {eb}, boundary {bb}, halo {hbud}")
+        elif args.mesh == "dp_ep":
+            from escgnn_tpu.parallel.edge_partition import (
+                make_dp_ep_pool_train_step,
+                shard_pool_2d,
+            )
+
+            stacked_pools = [shard_pool_2d(p, mesh) for p in stacked_pools]
+            ep_pool_step = make_dp_ep_pool_train_step(
+                model, l1_graph_loss, mesh, stacked_pools[0]
+            )
         else:
             # ep: edge arrays of the pools sharded over the mesh
             from escgnn_tpu.parallel.edge_partition import (
@@ -313,6 +396,11 @@ def main():
             )
             state, ep_losses = dp_pool_step(state, pool, order, rng)
             losses.append(jnp.mean(ep_losses))
+        elif mesh is not None and args.mesh == "halo":
+            for i in data_rng.permutation(len(halo_batches)):
+                rng, sub = jax.random.split(rng)
+                state, loss = halo_step(state, halo_batches[i], sub)
+                losses.append(loss)
         else:
             # single-device and ep share the schedule; only the step differs
             step_fn = ep_pool_step if mesh is not None else pool_train_step

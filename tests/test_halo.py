@@ -234,3 +234,105 @@ def test_halo_real_model_matches_single_device(rng):
         ),
         s2.batch_stats, s1.batch_stats,
     )
+
+
+def test_halo_graph_level_head_matches_single_device(rng):
+    """Graph-level halo (round 3): local per-graph partial pools psum'd
+    to replicated (G, .) rows, head BN without axis psum, local loss =
+    full graph loss / D. One SGD step must match the single-device step
+    exactly (loss, params, BN stats)."""
+    from escgnn_tpu.models.nested_gin_eff import (
+        NestedGINEff,
+        NestedGINEffConfig,
+    )
+    from escgnn_tpu.parallel.halo import (
+        build_halo_batch,
+        make_halo_nested_train_step,
+    )
+    import optax
+
+    from escgnn_tpu.train.loop import (
+        TrainState,
+        l1_graph_loss,
+        make_train_step,
+    )
+    from tests.test_model import make_graphs, to_jax
+
+    D = 4
+    mesh = make_mesh(D, axis_names=("model",))
+    graphs = make_graphs(rng, k=4, node_level=False)
+    spec = BatchSpec.from_graphs(graphs, batch_size=4)  # width enc layout
+    b = pad_and_batch(graphs, spec)
+    assert b.num_nodes % D == 0
+
+    kw = dict(hidden=8, num_layers=2, graph_pred=True, pool="add",
+              use_x_embedding_jk=False)
+    base = NestedGINEff(NestedGINEffConfig(**kw))
+    variables = base.init(jax.random.key(0), to_jax(b))
+
+    def fresh():
+        return TrainState.create(
+            jax.tree.map(jnp.array, variables["params"]),
+            jax.tree.map(jnp.array, variables.get("batch_stats", {})),
+            optax.sgd(1e-2),
+        )
+
+    s1, loss1 = make_train_step(base, l1_graph_loss)(
+        fresh(), to_jax(b), jax.random.key(3)
+    )
+
+    halo_model = NestedGINEff(
+        NestedGINEffConfig(halo_axis="model", **kw)
+    )
+    plan = plan_halo_sharding(b, D)
+    hb = jax.tree.map(jnp.asarray, build_halo_batch(b, plan))
+    step = make_halo_nested_train_step(
+        halo_model, mesh, "model", graph_loss_fn=l1_graph_loss
+    )
+    s2, loss2 = step(fresh(), hb, jax.random.key(3))
+
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-5)
+    jax.tree.map(
+        lambda a, w: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(w), rtol=2e-4, atol=1e-5
+        ),
+        s2.params, s1.params,
+    )
+    jax.tree.map(
+        lambda a, w: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(w), rtol=2e-4, atol=1e-5
+        ),
+        s2.batch_stats, s1.batch_stats,
+    )
+
+
+def test_halo_plan_budgets_shared_shapes(rng):
+    """Shared budgets make every batch's halo shapes identical, so ONE
+    compiled step serves a pool of batches (the driver --mesh halo
+    path)."""
+    b1, b2 = _batch(rng, k=4), _batch(rng, k=4)
+    D = 4
+    p1 = plan_halo_sharding(b1, D)
+    p2 = plan_halo_sharding(b2, D)
+    eb = max(p1.edge_shard, p2.edge_shard)
+    bb = max(p1.boundary_send.shape[1], p2.boundary_send.shape[1])
+    hb = max(p1.halo_src.shape[1], p2.halo_src.shape[1])
+    q1 = plan_halo_sharding(b1, D, eb, bb, hb)
+    q2 = plan_halo_sharding(b2, D, eb, bb, hb)
+    assert q1.senders.shape == q2.senders.shape
+    assert q1.boundary_send.shape == q2.boundary_send.shape
+    assert q1.halo_src.shape == q2.halo_src.shape
+    # budget padding must not change the aggregation result
+    F = 4
+    mesh = make_mesh(D, axis_names=("model",))
+    x = rng.normal(size=(b1.num_nodes, F)).astype(np.float32)
+    e = rng.normal(size=(b1.edge_mask.shape[0], F)).astype(np.float32)
+    want = np.asarray(_reference_agg(b1, jnp.asarray(x), jnp.asarray(e)))
+    fwd = make_halo_gine_forward(mesh)
+    sh = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("model"))
+    got = fwd(
+        jax.device_put(jnp.asarray(x), sh),
+        jax.device_put(jnp.asarray(scatter_edge_payload(q1, e)), sh),
+        shard_plan(q1, mesh),
+    )
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-5)

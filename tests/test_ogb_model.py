@@ -198,3 +198,83 @@ def test_ogb_use_rp():
     )
     out2 = model.apply(variables, batch2)
     assert not np.allclose(np.asarray(out), np.asarray(out2))
+
+
+def test_ogb_uniform_dedup_matches_flat():
+    """The flagship-playbook layout (uniform per-graph blocks + dedup
+    ESC rows) must predict what the flat/width layout predicts on real
+    graphs — same params, different physical layout (round-3 port of
+    the NestedGIN_eff optimization recipe to OgbGNN)."""
+    raw = synthetic_ogb_mol(num_graphs=4, seed=1, num_tasks=2)
+    ecfg = EscConfig(h=2, use_rd=True, self_loop=True)
+    feats = featurize_many(raw, ecfg)
+    b_flat = jax.tree.map(
+        jnp.asarray,
+        pad_and_batch(feats, BatchSpec.from_graphs(feats, batch_size=4)),
+    )
+    b_uni = jax.tree.map(
+        jnp.asarray,
+        pad_and_batch(
+            feats,
+            BatchSpec.uniform(feats, batch_size=4, enc_layout="dedup"),
+        ),
+    )
+    assert b_uni.nodes_per_graph is not None
+    assert b_uni.enc_row_weight is not None
+
+    cfg = OgbGNNConfig(
+        num_tasks=2, num_layers=3, emb_dim=24, dropout=0.0,
+        virtual_node=True, graph_pooling="mean",
+    )
+    model = OgbGNN(cfg)
+    variables = model.init(jax.random.key(0), b_flat)
+
+    @jax.jit
+    def fwd_train(v, b):
+        out, _ = model.apply(
+            v, b, deterministic=True, use_running_average=False,
+            mutable=["batch_stats"],
+        )
+        return out
+
+    out_f = np.asarray(fwd_train(variables, b_flat))
+    out_u = np.asarray(fwd_train(variables, b_uni))
+    np.testing.assert_allclose(out_f, out_u, rtol=2e-4, atol=2e-5)
+
+
+def test_ogb_bf16_runs_and_grads_flow():
+    raw = synthetic_ogb_mol(num_graphs=3, seed=2, num_tasks=1)
+    ecfg = EscConfig(h=2, use_rd=True, self_loop=True)
+    feats = featurize_many(raw, ecfg)
+    b = jax.tree.map(
+        jnp.asarray,
+        pad_and_batch(
+            feats,
+            BatchSpec.uniform(feats, batch_size=3, enc_layout="dedup"),
+        ),
+    )
+    cfg = OgbGNNConfig(
+        num_tasks=1, num_layers=2, emb_dim=16, dropout=0.0,
+        virtual_node=True, compute_dtype="bfloat16",
+    )
+    model = OgbGNN(cfg)
+    variables = model.init(jax.random.key(0), b)
+    params, bs = variables["params"], variables.get("batch_stats", {})
+
+    @jax.jit
+    def grads_fn(p):
+        def loss_fn(p):
+            out, _ = model.apply(
+                {"params": p, "batch_stats": bs}, b,
+                deterministic=True, use_running_average=False,
+                mutable=["batch_stats"],
+            )
+            return masked_bce_with_logits(out, b)
+
+        return jax.grad(loss_fn)(p)
+
+    g = grads_fn(params)
+    leaves = jax.tree.leaves(g)
+    assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
+    nonzero = sum(float(jnp.abs(l).sum()) > 0 for l in leaves)
+    assert nonzero > len(leaves) * 0.7
