@@ -277,3 +277,118 @@ def ppa_splits(
         "val": raw[n_tr:n_tr + n_val],
         "test": raw[n_tr + n_val:],
     }, False
+
+
+def load_ogb_graph_dir(root: str) -> dict:
+    """Parse an OGB graph-property-prediction dataset directory WITHOUT
+    the `ogb` package (absent in this env) — the on-disk raw schema the
+    package downloads (reference `dataset_pyg.py:14-120` consumes it via
+    PygGraphPropPredDataset):
+
+        <root>/raw/num-node-list.csv.gz   one int per graph
+        <root>/raw/num-edge-list.csv.gz   one int per graph
+        <root>/raw/edge.csv.gz            src,dst per directed edge row
+        <root>/raw/node-feat.csv.gz       one int row per node (optional)
+        <root>/raw/edge-feat.csv.gz       one row per edge (optional)
+        <root>/raw/graph-label.csv.gz     one row per graph (NaN = unlabeled)
+        <root>/split/<scheme>/{train,valid,test}.csv.gz  graph indices
+
+    Edge rows are taken as-is (OGB molecule datasets store both
+    directions). Returns {'train': [...], 'val': [...], 'test': [...]}
+    of GraphData."""
+    import glob
+    import gzip
+    import os
+
+    def read_csv(name, dtype):
+        path = os.path.join(root, "raw", name)
+        if not os.path.exists(path):
+            return None
+        with gzip.open(path, "rt") as f:
+            rows = [
+                [dtype(v) for v in line.strip().split(",")]
+                for line in f
+                if line.strip()
+            ]
+        return np.asarray(rows)
+
+    n_nodes = read_csv("num-node-list.csv.gz", int)[:, 0]
+    n_edges = read_csv("num-edge-list.csv.gz", int)[:, 0]
+    edges = read_csv("edge.csv.gz", int)
+    node_feat = read_csv("node-feat.csv.gz", float)
+    edge_feat = read_csv("edge-feat.csv.gz", float)
+    labels = read_csv("graph-label.csv.gz", float)
+
+    graphs = []
+    noff = eoff = 0
+    for g, (nn, ne) in enumerate(zip(n_nodes, n_edges)):
+        ei = edges[eoff:eoff + ne].T.astype(np.int32)
+        x = (
+            node_feat[noff:noff + nn].astype(np.int32)
+            if node_feat is not None
+            else np.zeros((nn, 1), np.int32)
+        )
+        ea = (
+            edge_feat[eoff:eoff + ne]
+            if edge_feat is not None
+            else None
+        )
+        if ea is not None:
+            # integer-valued features (molecule vocab ids) stay ints
+            ea = (
+                ea.astype(np.int32)
+                if np.allclose(ea, np.round(ea))
+                else ea.astype(np.float32)
+            )
+        graphs.append(GraphData(
+            num_nodes=int(nn),
+            edge_index=ei,
+            x=x,
+            edge_attr=ea,
+            y=labels[g].astype(np.float32),
+        ))
+        noff += nn
+        eoff += ne
+
+    split_dirs = sorted(glob.glob(os.path.join(root, "split", "*")))
+    assert split_dirs, f"no split scheme under {root}/split"
+    out = {}
+    for fname, key in (("train", "train"), ("valid", "val"),
+                       ("test", "test")):
+        path = os.path.join(split_dirs[0], f"{fname}.csv.gz")
+        with gzip.open(path, "rt") as f:
+            idx = [int(l.strip()) for l in f if l.strip()]
+        out[key] = [graphs[i] for i in idx]
+    return out
+
+
+def ogb_mol_splits(
+    data_dir: str,
+    dataset: str,
+    num_graphs: int = 2000,
+    seed: int = 0,
+    num_tasks: int = 1,
+    nan_frac: float = 0.0,
+) -> tuple[dict, bool]:
+    """Real OGB molecule splits when `<data_dir>/<dataset>/raw` exists
+    (the package's extracted layout, underscores for dashes); otherwise
+    a deterministic 80/10/10 split of `synthetic_ogb_mol`.
+    Returns (splits, is_real)."""
+    import os
+
+    for cand in (
+        os.path.join(data_dir, dataset.replace("-", "_")),
+        os.path.join(data_dir, dataset),
+    ):
+        if os.path.isdir(os.path.join(cand, "raw")):
+            return load_ogb_graph_dir(cand), True
+    raw = synthetic_ogb_mol(
+        num_graphs=num_graphs, seed=seed, num_tasks=num_tasks,
+        nan_frac=nan_frac,
+    )
+    n_tr, n_val = int(0.8 * len(raw)), int(0.1 * len(raw))
+    return {
+        "train": raw[:n_tr],
+        "val": raw[n_tr:n_tr + n_val],
+        "test": raw[n_tr + n_val:],
+    }, False

@@ -108,17 +108,24 @@ def main():
 
         raw = synthetic_ppa(num_graphs=args.num_graphs, seed=args.seed)
         args.num_tasks = 37
+        n_tr, n_val = int(0.8 * len(raw)), int(0.1 * len(raw))
+        raw_splits = {
+            "train": raw[:n_tr],
+            "val": raw[n_tr:n_tr + n_val],
+            "test": raw[n_tr + n_val:],
+        }
     else:
-        raw = synthetic_ogb_mol(
-            num_graphs=args.num_graphs, seed=args.seed,
-            num_tasks=args.num_tasks,
+        # real OGB raw directory when present (scaffold split,
+        # data/molecules.py load_ogb_graph_dir); synthetic otherwise
+        from escgnn_tpu.data.molecules import ogb_mol_splits
+
+        raw_splits, is_real = ogb_mol_splits(
+            args.data_dir, args.dataset, num_graphs=args.num_graphs,
+            seed=args.seed, num_tasks=args.num_tasks,
         )
-    n_tr, n_val = int(0.8 * len(raw)), int(0.1 * len(raw))
-    raw_splits = {
-        "train": raw[:n_tr],
-        "val": raw[n_tr:n_tr + n_val],
-        "test": raw[n_tr + n_val:],
-    }
+        print(f"{args.dataset}: "
+              f"{'real raw dir' if is_real else 'synthetic'} "
+              f"({sum(len(s) for s in raw_splits.values())} graphs)")
     rp_key = f"_rp{args.use_rp}" if args.use_rp else ""
 
     def featurize_split(graphs):

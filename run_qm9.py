@@ -67,14 +67,18 @@ def main():
     from escgnn_tpu.data.qm9 import (
         QM9_CONVERSION,
         append_distance_edge_attr,
-        synthetic_qm9,
+        qm9_splits,
     )
     from escgnn_tpu.featurize.escgnn import EscConfig
     from escgnn_tpu.featurize.transform import featurize_many
 
     ecfg = EscConfig(h=args.h, use_rd=True, self_loop=True)
     t0 = time.time()
-    raw = synthetic_qm9(num_graphs=args.num_graphs, seed=args.seed)
+    raw, is_real = qm9_splits(
+        args.data_dir, num_graphs=args.num_graphs, seed=args.seed
+    )
+    print(f"qm9 data: {'real gdb9.sdf' if is_real else 'synthetic'} "
+          f"({len(raw)} molecules)")
     KGNN_LEVELS = {"k1_GNN": (), "k12_GNN": (2,), "k13_GNN": (3,),
                    "k123_GNN": (2, 3)}
     if args.model == "NestedGIN_eff":
