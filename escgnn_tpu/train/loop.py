@@ -128,11 +128,15 @@ def ce_graph_loss(out: jax.Array, batch: GraphBatch) -> jax.Array:
 def ce_node_loss(out: jax.Array, batch: GraphBatch) -> jax.Array:
     """Masked softmax cross-entropy over real NODES (the VOC/COCO
     superpixel node-classification task shape, reference GraphGPS
-    `loader/dataset/voc_superpixels.py`)."""
+    `loader/dataset/voc_superpixels.py`). Labels < 0 are outside the
+    training node split (the Planetoid/WebKB/Actor single-graph mask
+    protocol, data/hetero.py node_split_copies) and drop out."""
     labels = batch.y.reshape(-1).astype(jnp.int32)
     logp = jax.nn.log_softmax(out, axis=-1)
-    nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
-    m = batch.node_mask.astype(nll.dtype)
+    nll = -jnp.take_along_axis(
+        logp, jnp.maximum(labels, 0)[:, None], axis=-1
+    )[:, 0]
+    m = batch.node_mask.astype(nll.dtype) * (labels >= 0)
     return jnp.sum(nll * m) / jnp.maximum(jnp.sum(m), 1.0)
 
 

@@ -174,6 +174,41 @@ def build_dataset(cfg, seed: int):
             num_graphs=d.num_graphs, seed=seed,
         )
         print(f"{d.name}: real={is_real}")
+    elif d.name.startswith("planetoid-"):
+        # Planetoid citation graphs inside the GPS stack (reference
+        # master_loader.py:176-177); single-graph node classification
+        # with the split-mask protocol (labels -1 outside the split)
+        from escgnn_tpu.data.hetero import node_split_copies
+        from escgnn_tpu.data.planetoid import get_planetoid
+
+        name = d.name.split("-", 1)[1].capitalize()
+        if name == "Pubmed":
+            name = "PubMed"
+        g = get_planetoid(name, root=os.path.join(d.dir, "Planetoid"))
+        raw_splits = node_split_copies(g, seed=seed)
+    elif d.name.startswith("webkb-") or d.name == "actor":
+        # WebKB (Cornell/Texas/Wisconsin) and Actor heterophilous rows
+        # (reference master_loader.py:132-134,182-183)
+        from escgnn_tpu.data.hetero import (
+            get_hetero_graph,
+            node_split_copies,
+        )
+
+        hname = d.name.split("-", 1)[1] if "-" in d.name else d.name
+        g, is_real = get_hetero_graph(
+            hname, root=os.path.join(d.dir, "hetero")
+        )
+        print(f"{d.name}: real={is_real}")
+        raw_splits = node_split_copies(g, seed=seed)
+    elif d.name.startswith("tu-"):
+        # TUDataset graph classification inside GPS (reference
+        # preformat_TUDataset, master_loader.py:179-180,595-606 —
+        # IMDB-*/COLLAB get constant features, covered by the degree
+        # fallback of data/tu.py)
+        from escgnn_tpu.data.tu import get_tu_dataset
+
+        graphs = get_tu_dataset(d.name[3:], root=os.path.join(d.dir, "TU"))
+        raw_splits = _even_splits(graphs)
     else:
         raise ValueError(f"unknown dataset {d.name!r}")
     splits = {}
@@ -446,7 +481,9 @@ def run_one(cfg, seed: int, out_dir: str) -> dict:
                 np.asarray,
                 node_logits_pool(state.params, state.batch_stats, stacked),
             )
-            m = masks.reshape(-1).astype(bool)
+            # labels < 0 are outside the node split (single-graph
+            # Planetoid/WebKB/Actor protocol) and drop out of the score
+            m = masks.reshape(-1).astype(bool) & (ys.reshape(-1) >= 0)
             pred = outs.reshape(-1, outs.shape[-1])[m].argmax(-1)
             y = ys.reshape(-1)[m].astype(np.int64)
             from sklearn.metrics import f1_score
@@ -589,7 +626,7 @@ def run_eval_only(cfg, ckpt_dir: str):
             outs, ys, masks = jax.tree.map(np.asarray, node_logits(
                 state.params, state.batch_stats, stacked
             ))
-            m = masks.reshape(-1).astype(bool)
+            m = masks.reshape(-1).astype(bool) & (ys.reshape(-1) >= 0)
             pred = outs.reshape(-1, outs.shape[-1])[m].argmax(-1)
             return float(f1_score(
                 ys.reshape(-1)[m].astype(np.int64), pred, average="macro"

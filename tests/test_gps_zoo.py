@@ -305,3 +305,123 @@ def test_gps_pretrained_finetune(tmp_path):
     new = optax.apply_updates(s.params, updates)
     np.testing.assert_array_equal(np.asarray(new["body"]), 1.0)
     assert np.all(np.asarray(new["head2"]) != 1.0)
+
+
+# --- generic-PyG rows (reference master_loader.py:132-186,595-606) ---
+
+def _node_cls_cfg(tmp_path, name, out_dim):
+    return load_cfg(None, [
+        "dataset.name", name,
+        "dataset.task", "node_classification",
+        "dataset.dir", str(tmp_path),
+        "dataset.node_encoder", "linear",
+        "dataset.edge_encoder", "none",
+        "dataset.esc.enable", "false",
+        "dataset.attn_bias", "true",
+        "model.dim_h", "16",
+        "model.num_layers", "1",
+        "model.num_heads", "2",
+        "model.graph_pred", "false",
+        "model.use_esc", "false",
+        "model.use_attn_bias", "true",
+        "model.out_dim", str(out_dim),
+        "train.batch_size", "1",
+        "train.epochs", "2",
+        "train.ckpt_period", "100",
+        "out_dir", str(tmp_path / "out"),
+    ])
+
+
+def test_gps_planetoid_node_classification(tmp_path):
+    """Planetoid inside the GPS stack: single citation graph, split-mask
+    protocol (labels -1 outside the split are ignored by loss + F1)."""
+    import run_gps
+
+    cfg = _node_cls_cfg(tmp_path, "planetoid-cora", 6)
+    splits, _, _ = run_gps.build_dataset(cfg, seed=0)
+    # three copies of the SAME graph, disjoint labeled node sets
+    ys = {s: np.asarray(splits[s][0].y).reshape(-1) for s in splits}
+    assert all(len(splits[s]) == 1 for s in splits)
+    labeled = {s: set(np.flatnonzero(y >= 0)) for s, y in ys.items()}
+    assert labeled["train"] & labeled["val"] == set()
+    assert labeled["train"] & labeled["test"] == set()
+    assert sum(len(v) for v in labeled.values()) == len(ys["train"])
+    res = run_gps.run_one(cfg, seed=0, out_dir=str(tmp_path / "out"))
+    assert 0.0 <= res["best_val_f1"] <= 1.0
+    assert 0.0 <= res["best_test_f1"] <= 1.0
+
+
+def test_gps_webkb_and_actor(tmp_path):
+    import run_gps
+
+    for name in ("webkb-texas", "actor"):
+        cfg = _node_cls_cfg(tmp_path, name, 5)
+        res = run_gps.run_one(
+            cfg, seed=0, out_dir=str(tmp_path / f"out_{name}")
+        )
+        assert 0.0 <= res["best_val_f1"] <= 1.0
+
+
+def test_hetero_raw_parser(tmp_path):
+    """The PyG WebKB/Actor raw text schema parses: dense 0/1 features
+    (WebKB) and sparse one-hot indices (Actor)."""
+    import os
+
+    from escgnn_tpu.data.hetero import ACTOR_FEAT_DIM, load_hetero_raw
+
+    raw = tmp_path / "texas" / "raw"
+    raw.mkdir(parents=True)
+    (raw / "out1_node_feature_label.txt").write_text(
+        "node_id\tfeature\tlabel\n"
+        "0\t1,0,1\t0\n1\t0,1,0\t1\n2\t1,1,1\t0\n"
+    )
+    (raw / "out1_graph_edges.txt").write_text(
+        "src\tdst\n0\t1\n1\t2\n1\t1\n"
+    )
+    g = load_hetero_raw(str(tmp_path), "texas")
+    assert g.num_nodes == 3 and g.x.shape == (3, 3)
+    np.testing.assert_array_equal(g.y.reshape(-1), [0, 1, 0])
+    # symmetrized, self-loop dropped, coalesced
+    np.testing.assert_array_equal(
+        g.edge_index, [[0, 1, 1, 2], [1, 0, 2, 1]]
+    )
+
+    raw2 = tmp_path / "actor" / "raw"
+    raw2.mkdir(parents=True)
+    (raw2 / "out1_node_feature_label.txt").write_text(
+        "node_id\tfeature\tlabel\n0\t0,5,931\t2\n1\t3\t1\n"
+    )
+    (raw2 / "out1_graph_edges.txt").write_text("src\tdst\n0\t1\n")
+    g = load_hetero_raw(str(tmp_path), "actor")
+    assert g.x.shape == (2, ACTOR_FEAT_DIM)
+    assert g.x[0, 0] == 1.0 and g.x[0, 5] == 1.0 and g.x[0, 931] == 1.0
+    assert g.x.sum() == 4.0
+
+
+def test_gps_tu_graph_classification(tmp_path):
+    """TUDataset row inside GPS (IMDB/COLLAB-style: degree/constant
+    features via the data/tu.py fallback)."""
+    import run_gps
+
+    cfg = load_cfg(None, [
+        "dataset.name", "tu-IMDB-BINARY",
+        "dataset.task", "classification",
+        "dataset.dir", str(tmp_path),
+        "dataset.node_encoder", "linear",
+        "dataset.edge_encoder", "none",
+        "dataset.esc.enable", "false",
+        "dataset.attn_bias", "true",
+        "model.dim_h", "16",
+        "model.num_layers", "1",
+        "model.num_heads", "2",
+        "model.use_esc", "false",
+        "model.use_attn_bias", "true",
+        "model.pool", "mean",
+        "model.out_dim", "2",
+        "train.batch_size", "4",
+        "train.epochs", "2",
+        "train.ckpt_period", "100",
+        "out_dir", str(tmp_path / "out"),
+    ])
+    res = run_gps.run_one(cfg, seed=0, out_dir=str(tmp_path / "out"))
+    assert 0.0 <= res["best_val_acc"] <= 1.0
