@@ -140,6 +140,21 @@ def main():
                    help="device count for --mesh (0 = all visible)")
     p.add_argument("--mesh_dp", type=int, default=2,
                    help="data-axis size of the 2-D --mesh dp_ep mesh")
+    p.add_argument("--multihost", action="store_true",
+                   help="multi-process slice: jax.distributed.initialize "
+                   "(auto-discovery or --coordinator), mesh over the "
+                   "GLOBAL device list, per-process train-data shard for "
+                   "--mesh dp (the reference DistributedSampler role, "
+                   "kernel/train_eval.py:44-52). Exactly degenerate at "
+                   "one process.")
+    p.add_argument("--coordinator", default=None,
+                   help="coordinator address for --multihost (host:port); "
+                   "omit on Cloud TPU (auto-discovered)")
+    p.add_argument("--num_processes", type=int, default=None,
+                   help="process count for --multihost (omit to "
+                   "auto-discover)")
+    p.add_argument("--process_id", type=int, default=None,
+                   help="this process's id for --multihost")
     p.add_argument("--bn_eval", default="running",
                    choices=["batch", "running"],
                    help="eval-time BN statistics. 'running' (default) = "
@@ -230,6 +245,23 @@ def main():
     )
     n_params = sum(x.size for x in jax.tree.leaves(state.params))
     print(f"params: {n_params / 1e6:.2f}M")
+
+    proc_count, proc_index = 1, 0
+    if args.multihost:
+        from escgnn_tpu.parallel.multihost import init_multihost
+
+        proc_count, proc_index = init_multihost(
+            args.coordinator, args.num_processes, args.process_id
+        )
+        print(f"multihost: process {proc_index}/{proc_count}, "
+              f"{len(jax.devices())} global devices")
+        if args.mesh == "dp" and proc_count > 1:
+            # per-process train shard (DistributedSampler role)
+            from escgnn_tpu.parallel.multihost import process_shard
+
+            splits["train"] = process_shard(
+                splits["train"], proc_index, proc_count
+            )
 
     mesh = None
     if args.mesh != "none":
