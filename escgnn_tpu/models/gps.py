@@ -27,7 +27,11 @@ from flax import linen as nn
 from escgnn_tpu.data.container import GraphBatch
 from escgnn_tpu.models.layers import MLP, MaskedBatchNorm, TorchDense
 from escgnn_tpu.ops.segment import segment_mean, segment_sum
-from escgnn_tpu.ops.zemb import zemb_from_batch
+from escgnn_tpu.ops.zemb import (
+    expand_rows,
+    zemb_from_batch,
+    zemb_unique_rows,
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -619,11 +623,20 @@ class GPSLayer(nn.Module):
             z_table = self.param(
                 "z_initial", nn.initializers.normal(1.0), (cfg.z_dim, D)
             )
-            z = zemb_from_batch(z_table, batch)
-            z = MLP(
+            z_mlp = MLP(
                 features=(D,), dropout=cfg.dropout, act=nn.elu, pre_act=True,
                 name="z_embedding",
-            )(z, batch.edge_mask, **kw)
+            )
+            # dedup layout, no dropout: z MLP on unique encoding rows
+            # with multiplicity-weighted BN, one expand to edges — the
+            # flagship recipe (models/nested_gin_eff.py)
+            u = zemb_unique_rows(z_table, batch) if cfg.dropout == 0.0 else None
+            if u is not None and getattr(batch, "enc_row_weight", None) is not None:
+                u = z_mlp(u, batch.enc_row_weight, **kw)
+                z = expand_rows(u, batch)
+            else:
+                z = zemb_from_batch(z_table, batch)
+                z = z_mlp(z, batch.edge_mask, **kw)
             edge_attr = edge_attr + z
 
         # local MPNN (gine | gatedgcn | pna — reference gps_layer.py local zoo)
@@ -652,6 +665,10 @@ class GPSLayer(nn.Module):
             h_local = GINEConv(
                 mlp=MLP(features=(D, D), dropout=cfg.dropout, act=nn.relu),
                 edge_dim=D,
+                # uniform per-graph blocks: one-hot einsum aggregation
+                # on the MXU (the flagship playbook; opt-in via
+                # BatchSpec.uniform)
+                uniform_nodes=getattr(batch, "nodes_per_graph", None),
                 name="local_gine",
             )(
                 h, batch.senders, batch.receivers, edge_attr, batch.edge_mask,
@@ -849,14 +866,11 @@ class GPSModel(nn.Module):
             )
 
         if cfg.graph_pred:
-            if cfg.pool == "add":
-                g = segment_sum(
-                    h, batch.node_graph, batch.num_graphs, mask=batch.node_mask
-                )
-            else:
-                g = segment_mean(
-                    h, batch.node_graph, batch.num_graphs, mask=batch.node_mask
-                )
+            from escgnn_tpu.ops.segment import pool_nodes_to_graphs
+
+            g = pool_nodes_to_graphs(
+                h, batch, reduce="sum" if cfg.pool == "add" else "mean"
+            )
         else:
             g = h
         g = nn.relu(TorchDense(D // 2, name="head1")(g))

@@ -507,3 +507,53 @@ def test_gps_equivstable_pe(gps_batch):
     out = model.apply(variables, b)
     assert out.shape == (b.num_graphs, 1)
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_gps_uniform_dedup_matches_flat():
+    """BatchSpec.uniform + dedup ESC rows through the GPS stack must
+    match the flat/width layout (round-3 port of the flagship fast
+    layout to GPS: einsum local GINE, unique-row z MLP, reshape pool)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from escgnn_tpu.data.batching import BatchSpec, pad_and_batch
+    from escgnn_tpu.featurize.spd import attach_attn_bias
+    from escgnn_tpu.models.gps import GPSConfig, GPSModel
+    from tests.test_model import make_graphs
+
+    rng = np.random.default_rng(5)
+    graphs = [attach_attn_bias(g)
+              for g in make_graphs(rng, k=4, node_level=False)]
+    b_flat = jax.tree.map(
+        jnp.asarray,
+        pad_and_batch(graphs, BatchSpec.from_graphs(graphs, batch_size=4)),
+    )
+    b_uni = jax.tree.map(
+        jnp.asarray,
+        pad_and_batch(
+            graphs,
+            BatchSpec.uniform(graphs, batch_size=4, enc_layout="dedup"),
+        ),
+    )
+    assert b_uni.nodes_per_graph is not None
+    assert b_uni.enc_row_weight is not None
+
+    model = GPSModel(GPSConfig(
+        dim_h=16, num_layers=2, num_heads=2, use_esc=True,
+        use_attn_bias=True, node_encoder_kind="linear",
+        edge_encoder_kind="none", pool="add", out_dim=1,
+    ))
+    variables = model.init(jax.random.key(0), b_flat)
+
+    @jax.jit
+    def fwd_train(v, b):
+        out, _ = model.apply(
+            v, b, deterministic=True, use_running_average=False,
+            mutable=["batch_stats"],
+        )
+        return out
+
+    out_f = np.asarray(fwd_train(variables, b_flat))
+    out_u = np.asarray(fwd_train(variables, b_uni))
+    np.testing.assert_allclose(out_f, out_u, rtol=2e-4, atol=2e-5)
