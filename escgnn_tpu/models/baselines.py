@@ -380,7 +380,9 @@ class BaselineGNN(nn.Module):
         node_mask, edge_mask = batch.node_mask, batch.edge_mask
         x = batch.x
         if cfg.node_embed_vocab:
-            x = nn.Embed(
+            from escgnn_tpu.models.layers import EmbedMM
+
+            x = EmbedMM(
                 cfg.node_embed_vocab, cfg.hidden,
                 embedding_init=nn.initializers.normal(1.0),
                 name="node_type_embedding",
@@ -510,7 +512,9 @@ class RGCNBaseline(nn.Module):
     def __call__(self, batch: GraphBatch, **_):
         cfg = self.cfg
         xi = batch.x.astype(jnp.int32).reshape(batch.x.shape[0])
-        x = nn.Embed(
+        from escgnn_tpu.models.layers import EmbedMM
+
+        x = EmbedMM(
             100, 8, embedding_init=nn.initializers.normal(1.0),
             name="node_type_embedding",
         )(xi)

@@ -112,7 +112,9 @@ class GINEPlusNetwork(nn.Module):
                 batch.x.astype(jnp.int32)
             )
         else:
-            h = nn.Embed(
+            from escgnn_tpu.models.layers import EmbedMM
+
+            h = EmbedMM(
                 cfg.node_vocab, F,
                 embedding_init=nn.initializers.normal(1.0), name="node_embed",
             )(batch.x.astype(jnp.int32).reshape(batch.x.shape[0]))

@@ -25,7 +25,12 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from escgnn_tpu.data.container import GraphBatch
-from escgnn_tpu.models.layers import MLP, MaskedBatchNorm, TorchDense
+from escgnn_tpu.models.layers import (
+    EmbedMM,
+    MLP,
+    MaskedBatchNorm,
+    TorchDense,
+)
 from escgnn_tpu.ops.segment import segment_mean, segment_sum
 from escgnn_tpu.ops.zemb import (
     expand_rows,
@@ -167,7 +172,7 @@ class DenseAttention(nn.Module):
         ) / jnp.sqrt(hd)
         if self.use_bias:
             spd = batch.extras["attn_bias"].astype(jnp.int32)
-            bias = nn.Embed(
+            bias = EmbedMM(
                 self.spd_vocab, Hh,
                 embedding_init=nn.initializers.normal(0.02),
                 name="spd_bias",
@@ -764,11 +769,11 @@ class GPSModel(nn.Module):
             # ogbg-code2 AST nodes: type embedding + depth embedding
             # (reference `encoder/ast_encoder.py` ASTNodeEncoder)
             xi = batch.x.astype(jnp.int32)
-            h = nn.Embed(
+            h = EmbedMM(
                 cfg.ast_type_vocab, D,
                 embedding_init=nn.initializers.normal(1.0),
                 name="ast_type_encoder",
-            )(xi[:, 0]) + nn.Embed(
+            )(xi[:, 0]) + EmbedMM(
                 cfg.ast_depth_vocab, D,
                 embedding_init=nn.initializers.normal(1.0),
                 name="ast_depth_encoder",
@@ -786,7 +791,7 @@ class GPSModel(nn.Module):
                 ATOM_FEATURE_DIMS, D, name="node_encoder"
             )(batch.x)
         else:
-            h = nn.Embed(
+            h = EmbedMM(
                 cfg.node_vocab, D, embedding_init=nn.initializers.normal(1.0),
                 name="node_encoder",
             )(batch.x.astype(jnp.int32).reshape(batch.x.shape[0]))
@@ -816,7 +821,7 @@ class GPSModel(nn.Module):
                 ex["rwse"].astype(jnp.float32)
             )
         if cfg.use_degree:
-            h = h + nn.Embed(
+            h = h + EmbedMM(
                 cfg.degree_vocab, D,
                 embedding_init=nn.initializers.normal(0.02),
                 name="degree_encoder",
@@ -849,7 +854,7 @@ class GPSModel(nn.Module):
                 BOND_FEATURE_DIMS, D, name="edge_encoder"
             )(batch.edge_attr)
         else:
-            edge_attr = nn.Embed(
+            edge_attr = EmbedMM(
                 cfg.edge_vocab, D, embedding_init=nn.initializers.normal(1.0),
                 name="edge_encoder",
             )(

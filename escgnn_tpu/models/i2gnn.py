@@ -131,7 +131,9 @@ class I2GNN(nn.Module):
         z = batch.extras["z"]
         nm = batch.node_mask
 
-        xt = nn.Embed(
+        from escgnn_tpu.models.layers import EmbedMM
+
+        xt = EmbedMM(
             100, cfg.node_type_dim,
             embedding_init=nn.initializers.normal(1.0),
             name="node_type_embedding",

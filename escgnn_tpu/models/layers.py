@@ -84,6 +84,29 @@ class TorchEmbed(nn.Module):
         return embed_take(table, ids.astype(jnp.int32))
 
 
+class EmbedMM(nn.Module):
+    """Drop-in for nn.Embed (same param path `embedding`, configurable
+    init) whose lookup goes through `ops.embed.embed_take`: the backward
+    is a one-hot matmul on the MXU instead of XLA's serial per-row
+    scatter-add (profiled ~45 us per table gradient on the molhiv step;
+    the (G, M, M) SPD-bias table of the GPS stack is the largest id set
+    fed through an embedding anywhere in the framework)."""
+
+    num_embeddings: int
+    features: int
+    embedding_init: Callable = nn.initializers.normal(1.0)
+
+    @nn.compact
+    def __call__(self, ids):
+        from escgnn_tpu.ops.embed import embed_take
+
+        table = self.param(
+            "embedding", self.embedding_init,
+            (self.num_embeddings, self.features),
+        )
+        return embed_take(table, ids.astype(jnp.int32))
+
+
 class MaskedBatchNorm(nn.Module):
     """BatchNorm1d over rows with a validity mask.
 

@@ -38,9 +38,17 @@ class TrainState(struct.PyTreeNode):
         )
 
 
-def adam_with_plateau(lr: float) -> optax.GradientTransformation:
+def adam_with_plateau(
+    lr: float, grad_clip: float = 0.0
+) -> optax.GradientTransformation:
     """Adam with an externally controlled learning rate
     (torch.optim.Adam defaults: b1=0.9 b2=0.999 eps=1e-8).
+
+    `grad_clip` > 0 prepends global-norm gradient clipping — the guard
+    against one-batch gradient explosions poisoning Adam's moments
+    (observed on PPGN_eff: a single epoch jumped the loss 13 orders of
+    magnitude and the run never recovered; torch equivalent
+    `clip_grad_norm_`).
 
     Wrapped in `optax.flatten`: the update runs on ONE concatenated
     vector instead of per-tensor chains — the per-tensor version was
@@ -48,7 +56,12 @@ def adam_with_plateau(lr: float) -> optax.GradientTransformation:
     slice of the step at these batch sizes. Semantics are identical
     (adam is elementwise); `set_learning_rate` still reaches
     `opt_state.hyperparams` (flatten keeps the inner state)."""
-    return optax.flatten(optax.inject_hyperparams(optax.adam)(learning_rate=lr))
+    adam = optax.inject_hyperparams(optax.adam)(learning_rate=lr)
+    if grad_clip and grad_clip > 0:
+        return optax.flatten(
+            optax.chain(optax.clip_by_global_norm(grad_clip), adam)
+        )
+    return optax.flatten(adam)
 
 
 def _hyperparams(opt_state):

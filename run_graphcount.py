@@ -140,6 +140,10 @@ def main():
                    help="device count for --mesh (0 = all visible)")
     p.add_argument("--mesh_dp", type=int, default=2,
                    help="data-axis size of the 2-D --mesh dp_ep mesh")
+    p.add_argument("--grad_clip", type=float, default=0.0,
+                   help="global-norm gradient clipping (0 = off); guards "
+                   "against one-batch explosions poisoning Adam (seen on "
+                   "PPGN_eff)")
     p.add_argument("--multihost", action="store_true",
                    help="multi-process slice: jax.distributed.initialize "
                    "(auto-discovery or --coordinator), mesh over the "
@@ -239,7 +243,7 @@ def main():
         jnp.asarray, next(batch_iterator(splits["train"][:2], spec))
     )
     variables = model.init(rng, init_batch)
-    tx = adam_with_plateau(args.lr)
+    tx = adam_with_plateau(args.lr, grad_clip=args.grad_clip)
     state = TrainState.create(
         variables["params"], variables.get("batch_stats", {}), tx
     )
