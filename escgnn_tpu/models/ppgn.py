@@ -40,31 +40,39 @@ class MlpBlock(nn.Module):
 
     features: int
     depth: int = 2
+    dtype: object = None  # compute dtype between convs (None = input's)
 
     @nn.compact
     def __call__(self, x):  # (G, N, N, C)
         for i in range(self.depth):
             x = TorchDense(self.features, name=f"conv{i}")(x)
             x = nn.relu(x)
+            if self.dtype is not None:
+                x = x.astype(self.dtype)
         return x
 
 
 class RegularBlock(nn.Module):
     features: int
     depth: int = 2
+    dtype: object = None  # bf16 conv stacks (f32 params, f32 accumulate)
 
     @nn.compact
     def __call__(self, x, pmask):  # x: (G, N, N, C), pmask: (G, N, N, 1)
-        m1 = MlpBlock(self.features, self.depth, name="mlp1")(x) * pmask
-        m2 = MlpBlock(self.features, self.depth, name="mlp2")(x) * pmask
+        cdt = self.dtype or x.dtype
+        pm = pmask.astype(cdt)
+        m1 = MlpBlock(self.features, self.depth, dtype=self.dtype,
+                      name="mlp1")(x) * pm
+        m2 = MlpBlock(self.features, self.depth, dtype=self.dtype,
+                      name="mlp2")(x) * pm
         # per-channel N x N matmul: (G,N,K,C) = sum_m m1[G,N,m,C] m2[G,m,K,C]
         mult = jnp.einsum(
             "gnmc,gmkc->gnkc", m1, m2, preferred_element_type=jnp.float32
-        )
+        ).astype(cdt)
         out = TorchDense(self.features, name="skip")(
-            jnp.concatenate([x, mult], axis=-1)
+            jnp.concatenate([x.astype(cdt), mult], axis=-1)
         )
-        return out * pmask
+        return out.astype(cdt) * pm
 
 
 def diag_offdiag_meanpool(x, node_mask_dense, level="graph"):
@@ -99,6 +107,9 @@ class PPGNConfig:
     use_esc: bool = True  # PPGN_eff: inject ESC edge encoding channels
     z_dim: int = 1800
     max_nodes: int = 32  # dense N (static)
+    # float32 | bfloat16 regular-block stacks (f32 master params, f32
+    # einsum accumulation, f32 head) — the flagship precision recipe
+    compute_dtype: str = "float32"
 
 
 class PPGN(nn.Module):
@@ -155,15 +166,23 @@ class PPGN(nn.Module):
         diag_ch = jnp.zeros((G, N, N, 1), edge_feat.dtype)
         x = jnp.concatenate([dense_edges, diag_ch], axis=-1)
 
+        cdt = (
+            jnp.bfloat16
+            if cfg.compute_dtype == "bfloat16"
+            else jnp.float32
+        )
         pmask = _pair_mask(nm)
-        x = x * pmask
+        x = (x * pmask).astype(cdt)
         for i in range(cfg.num_rb_layers):
-            x = RegularBlock(cfg.emb_dim, cfg.depth_of_mlp, name=f"rb{i}")(
-                x, pmask
-            )
+            x = RegularBlock(
+                cfg.emb_dim, cfg.depth_of_mlp,
+                dtype=(cdt if cfg.compute_dtype == "bfloat16" else None),
+                name=f"rb{i}",
+            )(x, pmask)
 
         level = "node" if cfg.node_level else "graph"
-        pooled = diag_offdiag_meanpool(x, nm, level=level)
+        pooled = diag_offdiag_meanpool(x.astype(jnp.float32), nm,
+                                       level=level)
 
         h = pooled
         h = nn.relu(TorchDense(cfg.emb_dim, name="fc0")(h))

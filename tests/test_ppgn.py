@@ -70,3 +70,51 @@ def test_diag_offdiag_meanpool_golden():
     out = np.asarray(diag_offdiag_meanpool(x, nm, "graph"))
     assert np.isclose(out[0, 0], 2.0)  # mean diag (1+3)/2
     assert np.isclose(out[0, 1], 6.0)  # mean offdiag (5+7)/(4-2)
+
+
+def test_ppgn_bf16_close_to_f32_and_grads_finite():
+    """compute_dtype='bfloat16' regular blocks (f32 params/accumulate/
+    head) stay close to the f32 forward and train with finite grads."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from escgnn_tpu.data.batching import BatchSpec, pad_and_batch
+    from escgnn_tpu.models.ppgn import PPGN, PPGNConfig
+    from tests.test_model import make_graphs
+
+    rng = np.random.default_rng(3)
+    graphs = make_graphs(rng, k=3)
+    spec = BatchSpec.from_graphs(graphs, batch_size=3)
+    b = jax.tree.map(jnp.asarray, pad_and_batch(graphs, spec))
+
+    kw = dict(emb_dim=16, num_rb_layers=2,
+              max_nodes=spec.max_nodes_per_graph, node_level=True,
+              use_esc=True)
+    m32 = PPGN(PPGNConfig(**kw))
+    m16 = PPGN(PPGNConfig(compute_dtype="bfloat16", **kw))
+    variables = m32.init(jax.random.key(0), b)
+
+    o32 = np.asarray(m32.apply(variables, b))
+    o16 = np.asarray(m16.apply(variables, b))
+    mask = np.asarray(b.node_mask)
+    scale = np.maximum(np.abs(o32[mask]).max(), 1e-3)
+    assert np.max(np.abs((o32 - o16)[mask])) / scale < 0.05
+
+    @jax.jit
+    def grads_fn(p):
+        def loss_fn(p):
+            out, _ = m16.apply(
+                {"params": p, "batch_stats": variables["batch_stats"]},
+                b, deterministic=True, use_running_average=False,
+                mutable=["batch_stats"],
+            )
+            err = jnp.abs(out - b.y) * b.node_mask[:, None]
+            return err.sum() / b.node_mask.sum()
+
+        return jax.grad(loss_fn)(p)
+
+    g = grads_fn(variables["params"])
+    assert all(
+        np.all(np.isfinite(np.asarray(l))) for l in jax.tree.leaves(g)
+    )

@@ -67,10 +67,28 @@ def summarize(trace_dir: str, top: int = 40) -> None:
         print(f"{ms:9.3f}  {100 * ms / max(total, 1e-9):5.1f}  {n:5d}  {name}")
 
 
-def run_and_profile(trace_dir: str) -> None:
+def run_and_profile(trace_dir: str, which: str = "flagship") -> None:
+    """Build the bench.py shapes for `which` (flagship | ogb | gps |
+    ppgn | i2gnn), trace one scan-of-50 dispatch, and summarize — the
+    per-model localization tool behind the round-3 OgbGNN speedups."""
     import bench
 
-    graphs = bench.make_zinc_like_graphs(num=128)
+    # featurize (fork pools) BEFORE importing jax (see bench.main)
+    if which == "flagship":
+        graphs = bench.make_zinc_like_graphs(num=128)
+    elif which == "ogb":
+        graphs = bench.make_molhiv_like_graphs(num=32)
+    elif which == "gps":
+        from escgnn_tpu.featurize.spd import attach_attn_bias
+
+        graphs = [attach_attn_bias(g)
+                  for g in bench.make_zinc_like_graphs(num=32, h=3)]
+    elif which == "ppgn":
+        graphs = bench.make_counting_graphs(num=128)
+    elif which == "i2gnn":
+        graphs = bench.make_i2gnn_graphs(num=16)
+    else:
+        raise SystemExit(f"unknown model {which!r}")
 
     import jax
     from escgnn_tpu.utils import setup_jax
@@ -85,30 +103,69 @@ def run_and_profile(trace_dir: str) -> None:
     from escgnn_tpu.train.loop import (
         TrainState,
         adam_with_plateau,
+        bce_graph_loss,
         l1_graph_loss,
+        l1_node_loss,
         make_train_step,
     )
 
-    spec = BatchSpec.uniform(graphs, 128, enc_layout="dedup")
+    loss_fn = l1_graph_loss
+    if which == "flagship":
+        spec = BatchSpec.uniform(graphs, 128, enc_layout="dedup")
+        model = NestedGINEff(
+            NestedGINEffConfig(
+                hidden=256, num_layers=5, dropout=0.0, act="elu",
+                graph_pred=True, pool="add", use_x_embedding_jk=False,
+                head_order="dropout_act", node_embed_vocab=100,
+                node_embed_dim=32, edge_embed_vocab=100, edge_embed_dim=32,
+                compute_dtype="bfloat16",
+            )
+        )
+    elif which == "ogb":
+        from escgnn_tpu.models.ogb_gnn import OgbGNN, OgbGNNConfig
+
+        spec = BatchSpec.uniform(graphs, len(graphs), enc_layout="dedup")
+        model = OgbGNN(OgbGNNConfig(
+            num_tasks=1, num_layers=6, emb_dim=300, dropout=0.0,
+            virtual_node=True, compute_dtype="bfloat16",
+        ))
+        loss_fn = bce_graph_loss
+    elif which == "gps":
+        from escgnn_tpu.models.gps import GPSConfig, GPSModel
+
+        spec = BatchSpec.from_graphs(graphs, batch_size=len(graphs))
+        model = GPSModel(GPSConfig(
+            dim_h=64, num_layers=4, num_heads=4, use_esc=True,
+            use_attn_bias=True, pool="add", out_dim=1,
+        ))
+    elif which == "ppgn":
+        from escgnn_tpu.models.ppgn import PPGN, PPGNConfig
+
+        spec = BatchSpec.from_graphs(graphs, batch_size=len(graphs))
+        model = PPGN(PPGNConfig(
+            emb_dim=128, num_rb_layers=3,
+            max_nodes=spec.max_nodes_per_graph, node_level=True,
+            use_esc=True,
+        ))
+        loss_fn = l1_node_loss
+    else:
+        from escgnn_tpu.models.i2gnn import I2GNN, I2GNNConfig
+
+        spec = BatchSpec.from_graphs(graphs, batch_size=len(graphs))
+        model = I2GNN(I2GNNConfig(
+            num_layers=3, hidden=64, use_rd=True,
+            subgraph2_pooling="mean-center-side", gate=True, out_dim=1,
+        ))
+
     batch = jax.tree.map(jnp.asarray, pad_and_batch(graphs, spec))
     real_edges = int(np.sum([g.num_edges for g in graphs]))
-
-    model = NestedGINEff(
-        NestedGINEffConfig(
-            hidden=256, num_layers=5, dropout=0.0, act="elu",
-            graph_pred=True, pool="add", use_x_embedding_jk=False,
-            head_order="dropout_act", node_embed_vocab=100,
-            node_embed_dim=32, edge_embed_vocab=100, edge_embed_dim=32,
-            compute_dtype="bfloat16",
-        )
-    )
     rng = jax.random.key(0)
     variables = model.init(rng, batch)
     state = TrainState.create(
         variables["params"], variables.get("batch_stats", {}),
         adam_with_plateau(5e-4),
     )
-    step = make_train_step(model, l1_graph_loss)
+    step = make_train_step(model, loss_fn)
 
     n_iter = 50
 
@@ -128,7 +185,9 @@ def run_and_profile(trace_dir: str) -> None:
 
 
 if __name__ == "__main__":
+    # usage: profile_step.py [trace_dir] [flagship|ogb|gps|ppgn|i2gnn]
     trace_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/prof"
+    which = sys.argv[2] if len(sys.argv) > 2 else "flagship"
     if os.environ.get("PROFILE_PARSE_ONLY") != "1":
-        run_and_profile(trace_dir)
+        run_and_profile(trace_dir, which)
     summarize(trace_dir)
