@@ -71,3 +71,51 @@ def test_multi_step_matches_sequential(rng):
         s1.params, s2.params,
     )
     assert int(s2.step) == 3
+
+
+def test_adam_grad_clip_bounds_update():
+    """adam_with_plateau(grad_clip=c) clips the global grad norm before
+    the Adam moments — a 1e6-scaled gradient must produce the SAME
+    first-step update as its clipped direction, and set_learning_rate
+    must still reach the injected hyperparams through the chain."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from escgnn_tpu.train.loop import (
+        TrainState,
+        adam_with_plateau,
+        get_learning_rate,
+        set_learning_rate,
+    )
+
+    params = {"w": jnp.ones((4,)), "b": jnp.zeros((2,))}
+    g_small = {"w": jnp.full((4,), 1e-4), "b": jnp.full((2,), -1e-4)}
+    g_huge = jax.tree.map(lambda x: x * 1e10, g_small)
+
+    def first_update(tx, grads):
+        state = TrainState.create(params, {}, tx)
+        updates, _ = state.tx.update(grads, state.opt_state, state.params)
+        return updates
+
+    clipped = first_update(adam_with_plateau(1e-3, grad_clip=1.0), g_huge)
+    # direction identical to the small-gradient update (Adam first step
+    # is ~lr * sign for any magnitude, so compare against the explicitly
+    # normalized gradient instead): clip rescales to norm 1
+    norm = float(
+        jnp.sqrt(sum(jnp.sum(g * g) for g in jax.tree.leaves(g_huge)))
+    )
+    want = first_update(
+        adam_with_plateau(1e-3),
+        jax.tree.map(lambda x: x / norm, g_huge),
+    )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5
+        ),
+        clipped, want,
+    )
+
+    state = TrainState.create(params, {}, adam_with_plateau(1e-3, 1.0))
+    state = set_learning_rate(state, 5e-4)
+    np.testing.assert_allclose(get_learning_rate(state), 5e-4, rtol=1e-6)
