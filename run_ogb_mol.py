@@ -58,6 +58,8 @@ def main():
     p.add_argument("--drop_ratio", type=float, default=0.65)
     p.add_argument("--batch_size", type=int, default=32)
     p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--grad_clip", type=float, default=0.0,
+                   help="global-norm gradient clipping (0 = off)")
     p.add_argument("--epochs", type=int, default=20)
     p.add_argument("--num_tasks", type=int, default=1)
     p.add_argument("--graph_pooling", default="mean",
@@ -223,7 +225,7 @@ def main():
     variables = model.init(rng, init_b)
     state = TrainState.create(
         variables["params"], variables.get("batch_stats", {}),
-        adam_with_plateau(args.lr),
+        adam_with_plateau(args.lr, grad_clip=args.grad_clip),
     )
     ckpt = CheckpointManager(os.path.join(res_dir, "ckpt"))
     start_epoch = 1

@@ -33,6 +33,8 @@ def main():
     p.add_argument("--hidden", type=int, default=256)
     p.add_argument("--batch_size", type=int, default=128)
     p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--grad_clip", type=float, default=0.0,
+                   help="global-norm gradient clipping (0 = off)")
     p.add_argument("--lr_decay_factor", type=float, default=0.5)
     p.add_argument("--patience", type=int, default=10)
     p.add_argument("--epochs", type=int, default=50)
@@ -200,7 +202,7 @@ def main():
     variables = model.init(rng, init_b)
     state = TrainState.create(
         variables["params"], variables.get("batch_stats", {}),
-        adam_with_plateau(args.lr),
+        adam_with_plateau(args.lr, grad_clip=args.grad_clip),
     )
     if seg_level:
         # predictions live on subgraph-copy rows (one per original node);
