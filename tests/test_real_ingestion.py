@@ -11,7 +11,6 @@ raw layout).
 import os
 
 import numpy as np
-import pytest
 
 FIX = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures")
 
