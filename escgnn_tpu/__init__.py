@@ -25,6 +25,6 @@ Design pillars (vs. the reference's CUDA/torch design):
   leading device axis over the mesh; collectives are XLA-emitted psums.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"
 
 from escgnn_tpu.data.container import GraphBatch, GraphData  # noqa: F401
