@@ -1,9 +1,14 @@
 #!/bin/bash
-# Round-3 TPU queue, final phase (chained on tools/tpu_queue9.sh):
-# degenerate single-chip driver smokes of the new mesh modes (the
-# VERDICT item-4 "degenerate 1-device TPU" half; the 4-virtual-device
-# halves live in tests/test_driver_mesh.py), then the peptides-struct
-# GPS row if time remains.
+# Round-3 TPU queue, final phase (replaces tpu_queue10.sh; chained on
+# tools/tpu_queue9.sh's bash):
+#   1-2. degenerate single-chip driver smokes of --mesh halo / dp_ep
+#        (VERDICT item-4's "1-device TPU" half).
+#   3.   count_graphlet t4 non-data lever, take 2: h=5 is structurally
+#        impossible (the ESC encoding's base-6 packing bounds h <= 4,
+#        same as the reference's 1800-dim layout — the h5 run failed
+#        with exactly that error), so the lever is model WIDTH:
+#        hidden 512 at the README config (h=4, bs 32, 20k graphs).
+#   4.   peptides-struct GPS row if not already archived.
 cd /root/repo
 mkdir -p results results_archive
 
@@ -13,7 +18,7 @@ if [ -n "$PREV_PID" ]; then
 fi
 
 DEADLINE="${DEADLINE:-$(date -ud '2026-08-21 10:20:00' +%s)}"
-ST=/tmp/tpu_queue10.status
+ST=/tmp/tpu_queue11.status
 
 archive() {
   local name="$1" rd="$2"
@@ -50,7 +55,14 @@ run_if 900 smoke_tpu_mesh_dp_ep results/smoke_tpu_mesh_dp_ep \
   python -u run_graphcount.py --target 0 --h 2 --num_graphs 60 \
     --batch_size 8 --epochs 2 --mesh dp_ep --mesh_devices 1 --mesh_dp 1 \
     --membership_pools 1 --res_dir results/smoke_tpu_mesh_dp_ep
-run_if 3000 gps_pepstruct_canonical results/gps_pepstruct_canonical \
-  python -u run_gps.py --cfg configs/gps/peptides-struct-GPS.yaml \
-    out_dir results/gps_pepstruct_canonical
-echo TPU_QUEUE10_ALL_DONE >> "$ST"
+run_if 4200 cgra_t4_w512_n20k results/cgra_t4_w512_n20k \
+  python -u run_graphcount.py --dataset count_graphlet --target 4 --h 4 \
+    --batch_size 32 --lr 5e-3 --hidden 512 --epochs 1200 \
+    --num_graphs 20000 --num_workers 2 \
+    --res_dir results/cgra_t4_w512_n20k
+if [ ! -d results_archive/gps_pepstruct_canonical ]; then
+  run_if 3000 gps_pepstruct_canonical results/gps_pepstruct_canonical \
+    python -u run_gps.py --cfg configs/gps/peptides-struct-GPS.yaml \
+      out_dir results/gps_pepstruct_canonical
+fi
+echo TPU_QUEUE11_ALL_DONE >> "$ST"
