@@ -263,9 +263,12 @@ def run_secondary(counting_graphs, gps_graphs, ogb_graphs, i2_graphs):
     spec = BatchSpec.from_graphs(graphs, batch_size=len(graphs))
     from escgnn_tpu.models.ppgn import PPGN, PPGNConfig
 
+    # bf16 regular blocks: A/B'd 1.26x over f32 on this shape
+    # (results_archive/gps_layout_ab, 2026-08-21)
     model = PPGN(PPGNConfig(
         emb_dim=128, num_rb_layers=3,
         max_nodes=spec.max_nodes_per_graph, node_level=True, use_esc=True,
+        compute_dtype="bfloat16",
     ))
     f = bench_model("ppgn", graphs, spec, model, l1_node_loss, n_ppgn,
                     node_level=True)
@@ -278,7 +281,11 @@ def run_secondary(counting_graphs, gps_graphs, ogb_graphs, i2_graphs):
     from escgnn_tpu.models.gps import GPSConfig, GPSModel
 
     graphs = gps_graphs
-    spec = BatchSpec.from_graphs(graphs, batch_size=len(graphs))
+    # uniform per-graph blocks + dedup ESC rows: A/B'd 1.79x over the
+    # flat layout on this shape (results_archive/gps_layout_ab,
+    # 2026-08-21); numerically equal (tests/test_gps.py)
+    spec = BatchSpec.uniform(graphs, batch_size=len(graphs),
+                             enc_layout="dedup")
     model = GPSModel(GPSConfig(
         dim_h=64, num_layers=4, num_heads=4, use_esc=True,
         use_attn_bias=True, pool="add", out_dim=1,
