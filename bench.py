@@ -60,6 +60,23 @@ PEAK_BF16_FLOPS = {
     "TPU v5e": 197e12,
 }
 
+# HBM bandwidth per chip (public spec: v5e 819 GB/s) — the denominator
+# for the bandwidth side of `roofline_frac`.
+PEAK_HBM_BYTES_PER_S = {
+    "TPU v5 lite": 819e9,
+    "TPU v5e": 819e9,
+}
+
+
+def device_peak_bw():
+    import jax
+
+    kind = jax.devices()[0].device_kind
+    for k, v in PEAK_HBM_BYTES_PER_S.items():
+        if k.lower() in kind.lower() or kind.lower() in k.lower():
+            return v
+    return None
+
 
 def device_peak_flops():
     import jax
@@ -71,17 +88,21 @@ def device_peak_flops():
     return None
 
 
-def flops_per_step(step, state, batch, rng):
-    """HLO FLOPs of the compiled single train step (fwd+bwd+optimizer),
-    via XLA's cost analysis on the already-compiled executable."""
+def step_cost(step, state, batch, rng):
+    """(flops, bytes) of the compiled single train step (fwd+bwd+
+    optimizer) from XLA's cost analysis of the fused executable. The
+    "bytes accessed" figure counts operand+output bytes of the FUSED ops,
+    i.e. an analytic estimate of HBM traffic (fusion-internal
+    intermediates excluded) — the denominator for `roofline_frac`."""
     try:
         ca = step.lower(state, batch, rng).compile().cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
         f = float(ca.get("flops", 0.0))
-        return f if f > 0 else None
+        b = float(ca.get("bytes accessed", 0.0))
+        return (f if f > 0 else None), (b if b > 0 else None)
     except Exception:
-        return None
+        return None, None
 
 
 def _raw_zinc_graphs(num, seed):
@@ -136,6 +157,89 @@ def make_i2gnn_graphs(num=16, seed=0, h=2):
     pcfg = PairSubgraphConfig(h=h, use_rd=True)
     return [create_pair_subgraphs(g, pcfg)
             for g in _raw_zinc_graphs(num, seed)]
+
+
+def make_ngnn_graphs(num=16, seed=0, h=3, orig_adj=False):
+    """Node-subgraph (NGNN) copies of ZINC-shaped graphs (reference
+    utils.py create_subgraphs role). With `orig_adj`, also keeps the
+    original adjacency for the NestedPPGN dense stack."""
+    from escgnn_tpu.featurize.node_subgraphs import (
+        NodeSubgraphConfig,
+        create_node_subgraphs,
+    )
+
+    scfg = NodeSubgraphConfig(h=h, use_rd=True, keep_orig_adj=orig_adj)
+    return [create_node_subgraphs(g, scfg)
+            for g in _raw_zinc_graphs(num, seed)]
+
+
+def make_ginep_graphs(num=32, seed=0, k=3):
+    """Multihop-edge graphs for the GINE+ stack (reference
+    gine_operations.py:335-362 runs on plain OGB molecules)."""
+    from escgnn_tpu.data.molecules import synthetic_ogb_mol
+    from escgnn_tpu.featurize.multihop import make_multihop_edges
+
+    return [make_multihop_edges(g, k=k)
+            for g in synthetic_ogb_mol(num_graphs=num, seed=seed,
+                                       num_tasks=1)]
+
+
+def make_kgnn_graphs(num=16, seed=0, h=3):
+    """QM9-shaped graphs with distance edge attrs, node copies and 2-/3-
+    set graphs for the k123 stack (reference run_qm9.py:165-207 role)."""
+    from escgnn_tpu.data.qm9 import append_distance_edge_attr, synthetic_qm9
+    from escgnn_tpu.featurize.kset import attach_kset_graphs
+    from escgnn_tpu.featurize.node_subgraphs import (
+        NodeSubgraphConfig,
+        create_node_subgraphs,
+    )
+
+    scfg = NodeSubgraphConfig(h=h, use_rd=True)
+    out = []
+    for g in synthetic_qm9(num_graphs=num, seed=seed):
+        g.y = np.asarray(g.y)[:1]
+        g = append_distance_edge_attr(g)
+        out.append(attach_kset_graphs(
+            create_node_subgraphs(g, scfg), ks=(2, 3), malkin=True
+        ))
+    return out
+
+
+def make_pep_graphs(num=16, seed=0):
+    """Peptides-struct-shaped graphs (LRGB: ~150 nodes, chain-like
+    backbone) with ESC features + all-pairs SPD attention bias — the
+    compute-relevant GPS bench shape (dim_h >= 96, big M)."""
+    from escgnn_tpu.data.container import GraphData
+    from escgnn_tpu.featurize.escgnn import EscConfig
+    from escgnn_tpu.featurize.spd import attach_attn_bias
+    from escgnn_tpu.featurize.transform import featurize_many
+
+    rng = np.random.default_rng(seed)
+    graphs = []
+    for _ in range(num):
+        n = int(rng.integers(120, 160))
+        a = np.arange(n - 1)
+        extra = n // 4
+        c1 = rng.integers(0, n, extra)
+        c2 = (c1 + rng.integers(2, 9, extra)) % n
+        src = np.concatenate([a, c1])
+        dst = np.concatenate([a + 1, c2])
+        keep = src != dst
+        src, dst = src[keep], dst[keep]
+        ei = np.stack(
+            [np.concatenate([src, dst]), np.concatenate([dst, src])]
+        ).astype(np.int32)
+        graphs.append(GraphData(
+            num_nodes=n,
+            edge_index=ei,
+            x=rng.integers(0, 20, n).astype(np.int32)[:, None],
+            edge_attr=rng.integers(1, 4, ei.shape[1]).astype(np.int32),
+            y=rng.normal(size=(11,)).astype(np.float32),
+        ))
+    feats = featurize_many(
+        graphs, EscConfig(h=2, use_rd=True, self_loop=True), num_workers=8
+    )
+    return [attach_attn_bias(g) for g in feats]
 
 
 def make_counting_graphs(num=128, seed=0):
@@ -195,11 +299,19 @@ def scan_time(step, state, batch, rng, n_iter, windows=3):
     return times, state, scan_steps
 
 
-def perf_fields(times, n_iter, real_edges, fps, peak):
-    """edges/s + step-time + MFU fields shared by every bench line."""
+def perf_fields(times, n_iter, real_edges, fps, peak, bps=None, bw=None):
+    """edges/s + step-time + MFU + roofline fields shared by every line.
+
+    `roofline_frac` = achieved fraction of the BINDING chip resource:
+    max(MFU, achieved-HBM-BW / peak BW); `binding_resource` names which
+    side binds. Sparse message passing is HBM-bound, so its honest
+    utilization number is the bandwidth side, not MFU."""
     mean_t = float(np.mean(times))
     std_t = float(np.std(times))
     ms = mean_t / n_iter * 1e3
+    step_s = mean_t / n_iter
+    mfu = round(fps / step_s / peak, 4) if fps and peak else None
+    bw_frac = round(bps / step_s / bw, 4) if bps and bw else None
     fields = {
         "value": round(real_edges * n_iter / mean_t, 1),
         "value_best": round(real_edges * n_iter / min(times), 1),
@@ -210,17 +322,22 @@ def perf_fields(times, n_iter, real_edges, fps, peak):
         "ms_per_step_std": round(std_t / n_iter * 1e3, 4),
         "windows": len(times),
         "flops_per_step": fps,
-        "mfu": (
-            round(fps / (mean_t / n_iter) / peak, 4)
-            if fps and peak
-            else None
-        ),
+        "mfu": mfu,
+        "bytes_per_step": bps,
+        "hbm_bw_frac": bw_frac,
     }
+    if mfu is not None or bw_frac is not None:
+        m, b = mfu or 0.0, bw_frac or 0.0
+        fields["roofline_frac"] = max(m, b)
+        fields["binding_resource"] = "flops" if m >= b else "hbm_bw"
+    else:
+        fields["roofline_frac"] = None
+        fields["binding_resource"] = None
     return fields
 
 
 def bench_model(name, graphs, spec, model, loss_fn, n_iter,
-                node_level=False):
+                node_level=False, real_edges=None):
     import jax
     import jax.numpy as jnp
 
@@ -232,7 +349,8 @@ def bench_model(name, graphs, spec, model, loss_fn, n_iter,
     )
 
     batch = jax.tree.map(jnp.asarray, pad_and_batch(graphs, spec))
-    real_edges = int(np.sum([g.num_edges for g in graphs]))
+    if real_edges is None:
+        real_edges = int(np.sum([g.num_edges for g in graphs]))
     variables = model.init(jax.random.key(0), batch)
     state = TrainState.create(
         variables["params"], variables.get("batch_stats", {}),
@@ -241,20 +359,27 @@ def bench_model(name, graphs, spec, model, loss_fn, n_iter,
     step = make_train_step(model, loss_fn)
     state, loss = step(state, batch, jax.random.key(1))
     float(loss)
-    fps = flops_per_step(step, state, batch, jax.random.key(1))
+    fps, bps = step_cost(step, state, batch, jax.random.key(1))
     times, state, _ = scan_time(step, state, batch, jax.random.key(1),
                                 n_iter)
-    return perf_fields(times, n_iter, real_edges, fps, device_peak_flops())
+    return perf_fields(times, n_iter, real_edges, fps, device_peak_flops(),
+                       bps, device_peak_bw())
 
 
-def run_secondary(counting_graphs, gps_graphs, ogb_graphs, i2_graphs):
+def run_secondary(gsets):
     n_ppgn, n_other = (5, 10) if SMOKE else (50, 100)
     from escgnn_tpu.data.batching import BatchSpec
+    from escgnn_tpu.data.uniform_copies import uniformize_dataset
     from escgnn_tpu.train.loop import (
         bce_graph_loss,
         l1_graph_loss,
         l1_node_loss,
     )
+
+    counting_graphs = gsets["counting"]
+    gps_graphs = gsets["gps"]
+    ogb_graphs = gsets["ogb"]
+    i2_graphs = gsets["i2"]
 
     lines = []
 
@@ -317,20 +442,113 @@ def run_secondary(counting_graphs, gps_graphs, ogb_graphs, i2_graphs):
     ))
 
     # --- I2GNN on its pair-subgraph copies (reference zinc_models.py
-    # I2GNN + utils_edge_I2.py transform; edges/s on the copy union)
+    # I2GNN + utils_edge_I2.py transform; edges/s on the copy union).
+    # Round 4: uniform per-copy blocks (data/uniform_copies.py) — the
+    # per-layer aggregation runs as per-copy one-hot einsums on the MXU
+    # and node->copy pooling as a masked reshape, replacing the global
+    # XLA scatter-adds that profiled 15x off the HBM roofline
+    # (results_archive/profile_i2gnn/). Numerically equal to the ragged
+    # layout (tests/test_uniform_copies.py).
     from escgnn_tpu.models.i2gnn import I2GNN, I2GNNConfig
 
-    graphs = i2_graphs
-    spec = BatchSpec.from_graphs(graphs, batch_size=len(graphs))
+    graphs = uniformize_dataset(i2_graphs)
+    spec = BatchSpec.copy_uniform(graphs, batch_size=len(graphs),
+                                  exact=True)
     model = I2GNN(I2GNNConfig(
         num_layers=3, hidden=64, use_rd=True,
         subgraph2_pooling="mean-center-side", gate=True, out_dim=1,
     ))
-    f = bench_model("i2gnn", graphs, spec, model, l1_graph_loss, n_ppgn)
+    real_edges = int(np.sum([g.num_edges for g in i2_graphs]))
+    f = bench_model("i2gnn", graphs, spec, model, l1_graph_loss, n_ppgn,
+                    real_edges=real_edges)
     lines.append(dict(
         metric="zinc_i2gnn_trainstep_copyedges_per_s_per_chip",
         unit="edges/s", **f,
     ))
+
+    # --- NGNN on its node-subgraph copies (reference zinc_models.py:
+    # 306-405 + utils.py create_subgraphs role), uniform per-copy blocks
+    from escgnn_tpu.models.ngnn import NGNN, NGNNConfig
+
+    ngnn_raw = gsets["ngnn"]
+    graphs = uniformize_dataset(ngnn_raw)
+    spec = BatchSpec.copy_uniform(graphs, batch_size=len(graphs),
+                                  exact=True)
+    model = NGNN(NGNNConfig(num_layers=5, hidden=64, use_rd=True,
+                            out_dim=1))
+    real_edges = int(np.sum([g.num_edges for g in ngnn_raw]))
+    f = bench_model("ngnn", graphs, spec, model, l1_graph_loss, n_ppgn,
+                    real_edges=real_edges)
+    lines.append(dict(
+        metric="zinc_ngnn_trainstep_copyedges_per_s_per_chip",
+        unit="edges/s", **f,
+    ))
+
+    # --- NestedPPGN over node-copy subgraphs (reference kernel/ppgn.py
+    # nested variant, run_ogb_mol.py --model NestedPPGN)
+    from escgnn_tpu.models.nested_ppgn import NestedPPGN, NestedPPGNConfig
+
+    graphs = gsets["nppgn"]
+    spec = BatchSpec.from_graphs(graphs, batch_size=len(graphs))
+    max_sub = 1
+    for g in graphs:
+        seg = np.asarray(g.extras["node_to_subgraph"])
+        max_sub = max(max_sub, int(np.bincount(seg).max()))
+    model = NestedPPGN(NestedPPGNConfig(
+        emb_dim=64, num_rb_layers=2, num_tasks=1, use_rd=True,
+        max_nodes_per_subgraph=max_sub, classify=False,
+    ))
+    f = bench_model("nppgn", graphs, spec, model, l1_graph_loss, n_ppgn)
+    lines.append(dict(
+        metric="zinc_nestedppgn_trainstep_copyedges_per_s_per_chip",
+        unit="edges/s", **f,
+    ))
+
+    # --- GINE+ multihop stack (reference gine_operations.py:335-362)
+    from escgnn_tpu.models.gine_plus import GINEPlusConfig, GINEPlusNetwork
+
+    graphs = gsets["ginep"]
+    spec = BatchSpec.from_graphs(graphs, batch_size=len(graphs))
+    model = GINEPlusNetwork(GINEPlusConfig(
+        hidden=100, out_dim=1, num_layers=6, dropout=0.0, k=3,
+        virtual_node=True,
+    ))
+    f = bench_model("ginep", graphs, spec, model, bce_graph_loss, n_other)
+    lines.append(dict(
+        metric="molhiv_gineplus_trainstep_edges_per_s_per_chip",
+        unit="edges/s", **f,
+    ))
+
+    # --- k123 k-GNN (reference run_qm9.py:165-207 + k-gnn graph_cpu)
+    from escgnn_tpu.models.kgnn_models import KGNN, KGNNConfig
+
+    graphs = gsets["kgnn"]
+    spec = BatchSpec.from_graphs(graphs, batch_size=len(graphs))
+    model = KGNN(KGNNConfig(
+        levels=(2, 3), use_rd=True, use_pos=True, nested=True, out_dim=1,
+    ))
+    f = bench_model("kgnn", graphs, spec, model, l1_graph_loss, n_ppgn)
+    lines.append(dict(
+        metric="qm9_k123gnn_trainstep_copyedges_per_s_per_chip",
+        unit="edges/s", **f,
+    ))
+
+    # --- GPS at compute-relevant scale (peptides-struct shape: dim_h 96,
+    # 10 layers, M ~160 — the attention stack above the tiny-shape noise
+    # floor; VERDICT r03 weak #3)
+    graphs = gsets["pep"]
+    spec = BatchSpec.uniform(graphs, batch_size=len(graphs),
+                             enc_layout="dedup")
+    model = GPSModel(GPSConfig(
+        dim_h=96, num_layers=10, num_heads=4, use_esc=True,
+        use_attn_bias=True, pool="mean", out_dim=11,
+    ))
+    f = bench_model("gps_pep", graphs, spec, model, l1_graph_loss, n_ppgn)
+    lines.append(dict(
+        metric="pepstruct_gps_trainstep_edges_per_s_per_chip",
+        unit="edges/s", **f,
+    ))
+
     for line in lines:
         base = ROUND2_MEASURED.get(line["metric"])
         line["vs_baseline"] = (
@@ -347,15 +565,23 @@ def main():
     only_flagship = os.environ.get("BENCH_ONLY") == "flagship"
     if not only_flagship:
         # ALL featurization (fork pools) must happen before jax init
-        counting_graphs = make_counting_graphs(num=16 if SMOKE else 128)
         from escgnn_tpu.featurize.spd import attach_attn_bias
 
-        gps_graphs = [
-            attach_attn_bias(g)
-            for g in make_zinc_like_graphs(num=8 if SMOKE else 32, h=3)
-        ]
-        ogb_graphs = make_molhiv_like_graphs(num=8 if SMOKE else 32)
-        i2_graphs = make_i2gnn_graphs(num=4 if SMOKE else 16)
+        gsets = dict(
+            counting=make_counting_graphs(num=16 if SMOKE else 128),
+            gps=[
+                attach_attn_bias(g)
+                for g in make_zinc_like_graphs(num=8 if SMOKE else 32, h=3)
+            ],
+            ogb=make_molhiv_like_graphs(num=8 if SMOKE else 32),
+            i2=make_i2gnn_graphs(num=4 if SMOKE else 16),
+            ngnn=make_ngnn_graphs(num=4 if SMOKE else 16),
+            nppgn=make_ngnn_graphs(num=4 if SMOKE else 16, h=2,
+                                   orig_adj=True),
+            ginep=make_ginep_graphs(num=8 if SMOKE else 32),
+            kgnn=make_kgnn_graphs(num=4 if SMOKE else 16),
+            pep=make_pep_graphs(num=2 if SMOKE else 16),
+        )
 
     import jax
     from escgnn_tpu.utils import setup_jax
@@ -372,8 +598,7 @@ def main():
     )
 
     if not only_flagship:
-        for line in run_secondary(counting_graphs, gps_graphs, ogb_graphs,
-                                  i2_graphs):
+        for line in run_secondary(gsets):
             print(json.dumps(line))
 
     # uniform per-graph blocks: every graph padded to the same
@@ -414,7 +639,7 @@ def main():
     step = make_train_step(model, l1_graph_loss)
     state, loss = step(state, batch, rng)
     float(loss)
-    fps = flops_per_step(step, state, batch, rng)
+    fps, bps = step_cost(step, state, batch, rng)
 
     n_iter = 20 if SMOKE else 400
     times, state, scan_steps = scan_time(step, state, batch, rng, n_iter,
@@ -428,7 +653,7 @@ def main():
             float(losses[-1])
 
     fields = perf_fields(times, n_iter, real_edges, fps,
-                         device_peak_flops())
+                         device_peak_flops(), bps, device_peak_bw())
     print(
         json.dumps(
             dict(

@@ -42,6 +42,7 @@ _STRUCTURAL_KEYS = frozenset({
     "center_idx", "node_to_original_node", "num_original_nodes",
     "attn_bias", "orig_adj",
     "assign_2to3", "num_assign_2to3",
+    "node_valid", "edge_valid",  # copy-uniform masks, folded in directly
 })
 _KSET_KEYS = ("iso", "edge_index", "assign", "to_subgraph")
 
@@ -105,6 +106,12 @@ class BatchSpec:
     # the per-graph dense-einsum message-passing path)
     uniform_nodes: int = 0
     uniform_edges: int = 0
+    # uniform per-COPY layout (copy-based family; data/uniform_copies.py):
+    # graphs arrive pre-uniformized with every subgraph copy padded to an
+    # identical (copy_nodes, copy_edges) block; num_nodes/num_edges are
+    # whole multiples so block index == copy segment id batch-wide
+    copy_nodes: int = 0
+    copy_edges: int = 0
 
     # -- construction -----------------------------------------------------
 
@@ -164,6 +171,54 @@ class BatchSpec:
         kw["num_edges"] = bs * e_u
         kw["uniform_nodes"] = n_u
         kw["uniform_edges"] = e_u
+        return cls(
+            num_graphs=bs,
+            y_is_node_level=_infer_node_level_y(graphs),
+            **kw,
+        )
+
+    @classmethod
+    def copy_uniform(
+        cls,
+        graphs: Sequence[GraphData],
+        batch_size: int,
+        enc_layout: str = "width",
+        exact: bool = False,
+    ) -> "BatchSpec":
+        """Uniform per-COPY blocks for the copy-based family (NGNN/I2GNN).
+
+        `graphs` must be pre-processed by `uniform_copies.uniformize_copies`
+        (each copy padded to the dataset-wide (n_c, e_c) block). Budgets
+        are whole multiples of the block so the batch reshapes to
+        (C, n_c, ...) with block index == copy segment id; the copy
+        level's segment budget is pinned to the block count for that
+        alignment."""
+        assert graphs, "need at least one graph to size a BatchSpec"
+        ex0 = graphs[0].extras or {}
+        n_c = int(ex0["num_copy_nodes"])
+        e_c = int(ex0["num_copy_edges"])
+        bs = int(batch_size)
+        mx = _per_graph_maxima(graphs)
+        if enc_layout == "dedup":
+            mx["enc_buckets"] = _distinct_bucket_budget(graphs)
+            mx["enc_rows_cap"] = _distinct_row_cap(graphs)
+            mx["enc_rows_topk"] = _topk_row_sum(graphs, bs)
+        kw = _budgets_from(mx, scale=bs, enc_layout=enc_layout)
+        if exact:  # bench path: tight block count for exactly this list
+            c_budget = _round_up(
+                sum(g.num_nodes // n_c for g in graphs) + 1, 8
+            )
+        else:
+            c_max = max(g.num_nodes // n_c for g in graphs)
+            c_budget = _round_up(bs * c_max + 1, 8)
+        kw["num_nodes"] = c_budget * n_c
+        kw["num_edges"] = c_budget * e_c
+        kw["copy_nodes"] = n_c
+        kw["copy_edges"] = e_c
+        if "node_to_subgraph2" in ex0:
+            kw["num_segments2"] = c_budget
+        else:
+            kw["num_segments"] = c_budget
         return cls(
             num_graphs=bs,
             y_is_node_level=_infer_node_level_y(graphs),
@@ -428,6 +483,11 @@ def pad_and_batch(graphs: Sequence[GraphData], spec: BatchSpec) -> GraphBatch:
     else:
         assert tot_n < spec.num_nodes, (tot_n, spec.num_nodes)
         assert tot_e <= spec.num_edges, (tot_e, spec.num_edges)
+        if spec.copy_nodes:
+            # pre-uniformized copy blocks: consecutive offsets stay
+            # block-aligned only if every graph is a whole number of them
+            assert all(n % spec.copy_nodes == 0 for n in n_sizes)
+            assert all(e % spec.copy_edges == 0 for e in e_sizes)
         node_off = np.concatenate([[0], np.cumsum(n_sizes)])
         edge_off = np.concatenate([[0], np.cumsum(e_sizes)])
     N, E, NG = spec.num_nodes, spec.num_edges, spec.num_graphs
@@ -475,6 +535,26 @@ def pad_and_batch(graphs: Sequence[GraphData], spec: BatchSpec) -> GraphBatch:
 
     graph_mask = np.zeros(NG, bool)
     graph_mask[:G] = True
+
+    # uniform per-copy layout: intra-graph padding rows/edges (copies
+    # padded to the (copy_nodes, copy_edges) block) are flagged by the
+    # node_valid/edge_valid extras — AND them into the batch masks
+    ex0_pre = graphs[0].extras or {}
+    if "node_valid" in ex0_pre:
+        nv = _pad_rows(
+            [np.asarray(g.extras["node_valid"]) for g in graphs],
+            n_sizes, N, dtype=bool, offsets=node_off,
+        )
+        node_mask &= nv
+    if "edge_valid" in ex0_pre:
+        ev = _pad_rows(
+            [
+                np.asarray(g.extras["edge_valid"])[perms[i]]
+                for i, g in enumerate(graphs)
+            ],
+            e_sizes, E, dtype=bool, offsets=edge_off,
+        )
+        edge_mask &= ev
 
     fields: dict = dict(
         senders=senders,
@@ -559,6 +639,8 @@ def pad_and_batch(graphs: Sequence[GraphData], spec: BatchSpec) -> GraphBatch:
         extras=extras_out or None,
         nodes_per_graph=spec.uniform_nodes or None,
         edges_per_graph=spec.uniform_edges or None,
+        nodes_per_seg=spec.copy_nodes or None,
+        edges_per_seg=spec.copy_edges or None,
         **fields,
     )
 

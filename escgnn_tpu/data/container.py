@@ -150,6 +150,17 @@ class GraphBatch(struct.PyTreeNode):
     edges_per_graph: Optional[int] = struct.field(
         pytree_node=False, default=None
     )
+    # uniform per-COPY layout (data/uniform_copies.py): every subgraph
+    # copy occupies an identical (nodes_per_seg, edges_per_seg) block, so
+    # the copy-family message passing takes the same one-hot-einsum path
+    # per copy and node -> copy pooling is a masked reshape. Block index
+    # == copy segment id (node_segment for NGNN, node_segment2 for I2GNN).
+    nodes_per_seg: Optional[int] = struct.field(
+        pytree_node=False, default=None
+    )
+    edges_per_seg: Optional[int] = struct.field(
+        pytree_node=False, default=None
+    )
 
     @property
     def num_nodes(self) -> int:

@@ -145,15 +145,30 @@ def stack_split(graphs: Sequence[GraphData], spec: BatchSpec) -> GraphBatch:
     )
 
 
+def stack_split_compressed(graphs: Sequence[GraphData], spec: BatchSpec):
+    """`stack_split` with lossless downcasting (data/compress.py):
+    returns (device stack, decoder). Use for big eval splits that would
+    otherwise pin f32 pools in HBM alongside a compressed train pool."""
+    import jax
+    import jax.numpy as jnp
+
+    from escgnn_tpu.data.compress import compress_tree, make_decoder
+
+    host = _stack_host(list(batch_iterator(graphs, spec)))
+    host, metas = compress_tree(host)
+    return jax.tree.map(jnp.asarray, host), make_decoder(metas)
+
+
 def stacked_batch_pools(
     graphs: Sequence[GraphData],
     spec: BatchSpec,
     k: int = 4,
     seed: int = 0,
     max_total_bytes: int = 4 * 2**30,
-) -> tuple[list, int]:
-    """K membership-shuffled STACKED device-resident train pools plus the
-    per-epoch batch count.
+    compress: bool = False,
+) -> tuple[list, int, "object"]:
+    """K membership-shuffled STACKED device-resident train pools, the
+    per-epoch batch count, and the device-side batch decoder.
 
     The stacked form of `materialized_batch_pools`: cycling pools across
     epochs (pool e % k, order-shuffled within via the scan's index
@@ -162,18 +177,42 @@ def stacked_batch_pools(
     All k pools live in HBM simultaneously, so k is capped to keep the
     total under `max_total_bytes` (a pool is the whole padded train
     split; 4 copies of a large split plus model/optimizer state can
-    otherwise exceed a 16 GB v5e)."""
+    otherwise exceed a 16 GB v5e).
+
+    `compress=True` stores the pools losslessly downcast (ESC counts /
+    categorical features / block-local indices are small ints —
+    data/compress.py, ~3x smaller on counting shapes); the returned
+    decoder must then be passed to the pool step builders, which apply
+    it on device per scanned batch. With `compress=False` the decoder
+    is identity, so callers can thread it unconditionally."""
     import jax
     import jax.numpy as jnp
 
+    from escgnn_tpu.data.compress import (
+        compress_tree,
+        compress_tree_like,
+        make_decoder,
+    )
+
     rng = np.random.default_rng(seed)
     pools: list = []
+    decode = lambda tree: tree  # noqa: E731
+    first_host = None
     kk = max(1, k)
     i = 0
     while i < kk:
         order = rng.permutation(len(graphs))
         shuffled = [graphs[int(j)] for j in order]
         host = _stack_host(list(batch_iterator(shuffled, spec)))
+        if compress:
+            if i == 0:
+                host, metas = compress_tree(host)
+                decode = make_decoder(metas)
+                first_host = host
+            else:
+                # later pools must share pool 0's dtypes: one decoder,
+                # one compiled epoch program across all pools
+                host = compress_tree_like(host, first_host)
         if i == 0:
             per_pool = sum(x.nbytes for x in _tree_leaves(host))
             fit = max(1, int(max_total_bytes // max(per_pool, 1)))
@@ -187,7 +226,7 @@ def stacked_batch_pools(
         pools.append(jax.tree.map(jnp.asarray, host))
         i += 1
     num_batches = (len(graphs) + spec.num_graphs - 1) // spec.num_graphs
-    return pools, num_batches
+    return pools, num_batches, decode
 
 
 def materialized_batch_pools(

@@ -26,7 +26,11 @@ from flax import linen as nn
 from escgnn_tpu.data.container import GraphBatch
 from escgnn_tpu.models.layers import MaskedBatchNorm, TorchDense
 from escgnn_tpu.models.ngnn import NGNNGINConv
-from escgnn_tpu.ops.segment import segment_mean, segment_sum
+from escgnn_tpu.ops.segment import (
+    pool_copy_blocks,
+    segment_mean,
+    segment_sum,
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -72,19 +76,27 @@ class I2GNN(nn.Module):
                 x, batch.node_original, batch.original_mask.shape[0], mask=nm
             )
 
+        def s2_reduce(v, reduce):
+            # uniform per-copy layout -> masked reshape; else segment op
+            b = pool_copy_blocks(v, batch, S2, reduce=reduce)
+            if b is not None:
+                return b
+            fn = segment_mean if reduce == "mean" else segment_sum
+            return fn(v, batch.node_segment2, S2, mask=nm)
+
         sp2 = cfg.subgraph2_pooling
         if sp2 in ("mean", "mean-center-side") and cfg.gate and gate_fn:
             x = gate_fn(z_emb) * x
         if sp2 == "mean":
-            h2 = segment_mean(x, batch.node_segment2, S2, mask=nm)
+            h2 = s2_reduce(x, "mean")
         elif sp2 == "add":
-            h2 = segment_sum(x, batch.node_segment2, S2, mask=nm)
+            h2 = s2_reduce(x, "sum")
         elif sp2 == "center":
             h2 = jnp.take(x, batch.center_idx[:, 0], axis=0)
         elif sp2 == "mean-center":
             h2 = jnp.concatenate(
                 [
-                    segment_mean(x, batch.node_segment2, S2, mask=nm),
+                    s2_reduce(x, "mean"),
                     jnp.take(x, batch.center_idx[:, 0], axis=0),
                 ],
                 axis=-1,
@@ -92,7 +104,7 @@ class I2GNN(nn.Module):
         elif sp2 == "mean-center-side":
             h2 = jnp.concatenate(
                 [
-                    segment_mean(x, batch.node_segment2, S2, mask=nm),
+                    s2_reduce(x, "mean"),
                     jnp.take(x, batch.center_idx[:, 0], axis=0),
                     jnp.take(x, batch.center_idx[:, 1], axis=0),
                 ],
@@ -144,7 +156,7 @@ class I2GNN(nn.Module):
         )
 
         def z_embed(layer, m_in):
-            zt = nn.Embed(
+            zt = EmbedMM(
                 cfg.z_vocab, m_in,
                 embedding_init=nn.initializers.normal(1.0),
                 name=f"z_embedding_{layer}",
@@ -180,6 +192,7 @@ class I2GNN(nn.Module):
             h = jnp.concatenate([h, z_emb], axis=-1)
             h = NGNNGINConv(
                 m_in=2 * m_in, m_out=cfg.hidden, edge_vocab=cfg.edge_vocab,
+                nodes_per_seg=batch.nodes_per_seg,
                 name=f"conv{layer}",
             )(
                 h, batch.senders, batch.receivers, batch.edge_attr,

@@ -43,27 +43,41 @@ class NGNNConfig:
 
 
 class NGNNGINConv(nn.Module):
-    """GIN conv with edge-type embedded messages (zinc_models.py:615-645)."""
+    """GIN conv with edge-type embedded messages (zinc_models.py:615-645).
+
+    `nodes_per_seg`: uniform per-copy layout (data/uniform_copies.py) —
+    gather/scatter run as per-copy one-hot einsums on the MXU instead of
+    a global XLA scatter-add over the copy union (the profiled 15x-off-
+    roofline bottleneck of the ragged layout, results_archive/
+    profile_i2gnn/)."""
 
     m_in: int
     m_out: int
     edge_vocab: int
+    nodes_per_seg: "int | None" = None
 
     @nn.compact
     def __call__(
         self, x, senders, receivers, edge_attr, edge_mask, node_mask=None,
         *, use_running_average: bool,
     ):
+        from escgnn_tpu.models.layers import EmbedMM, _dense_local_aggregate
+
         eps = self.param("eps", nn.initializers.zeros, ())
-        e = nn.Embed(
+        e = EmbedMM(
             self.edge_vocab, self.m_in,
             embedding_init=nn.initializers.normal(1.0), name="edge_encoder",
         )(edge_attr.astype(jnp.int32).reshape(edge_attr.shape[0]))
-        msg = nn.relu(jnp.take(x, senders, axis=0) + e)
-        agg = segment_sum(
-            msg, receivers, num_segments=x.shape[0], mask=edge_mask,
-            indices_are_sorted=True,
-        )
+        if self.nodes_per_seg is not None:
+            agg = _dense_local_aggregate(
+                x, senders, receivers, e, edge_mask, self.nodes_per_seg
+            )
+        else:
+            msg = nn.relu(jnp.take(x, senders, axis=0) + e)
+            agg = segment_sum(
+                msg, receivers, num_segments=x.shape[0], mask=edge_mask,
+                indices_are_sorted=True,
+            )
         h = (1.0 + eps) * x + agg
         h = TorchDense(2 * self.m_in, name="mlp_0")(h)
         # node_mask keeps padding out of the training batch statistics
@@ -88,7 +102,9 @@ class NGNN(nn.Module):
         z = batch.extras["z"]  # (N, z_cols) int
         node_mask = batch.node_mask
 
-        xt = nn.Embed(
+        from escgnn_tpu.models.layers import EmbedMM
+
+        xt = EmbedMM(
             100, cfg.node_type_dim,
             embedding_init=nn.initializers.normal(1.0),
             name="node_type_embedding",
@@ -101,7 +117,7 @@ class NGNN(nn.Module):
         h = x
         h_prev = None
         for layer in range(cfg.num_layers):
-            zt = nn.Embed(
+            zt = EmbedMM(
                 cfg.z_vocab, m_in,
                 embedding_init=nn.initializers.normal(1.0),
                 name=f"z_embedding_{layer}",
@@ -114,6 +130,7 @@ class NGNN(nn.Module):
             h = jnp.concatenate([h, z_emb], axis=-1)
             h = NGNNGINConv(
                 m_in=2 * m_in, m_out=cfg.hidden, edge_vocab=cfg.edge_vocab,
+                nodes_per_seg=batch.nodes_per_seg,
                 name=f"conv{layer}",
             )(
                 h, batch.senders, batch.receivers, batch.edge_attr,
@@ -130,17 +147,26 @@ class NGNN(nn.Module):
             m_in = cfg.hidden
 
         # two-level pooling: node -> subgraph -> graph
+        from escgnn_tpu.ops.segment import pool_copy_blocks
+
         S = batch.segment_mask.shape[0]
         if cfg.subgraph_pooling == "center":
-            # center = root = first node of each copy (the transform places
-            # the root first): gather the min node index per segment.
-            idx = jnp.arange(batch.num_nodes)
-            big = jnp.where(batch.node_mask, idx, batch.num_nodes)
-            first = jax.ops.segment_min(big, batch.node_segment, S)
-            first = jnp.minimum(first, batch.num_nodes - 1)
-            sub = jnp.take(h, first, axis=0)
+            if batch.nodes_per_seg is not None and \
+                    batch.num_nodes == S * batch.nodes_per_seg:
+                # uniform copy blocks: the root is local slot 0 of each
+                sub = h.reshape(S, batch.nodes_per_seg, -1)[:, 0]
+            else:
+                # center = root = first node of each copy (the transform
+                # places the root first): min node index per segment.
+                idx = jnp.arange(batch.num_nodes)
+                big = jnp.where(batch.node_mask, idx, batch.num_nodes)
+                first = jax.ops.segment_min(big, batch.node_segment, S)
+                first = jnp.minimum(first, batch.num_nodes - 1)
+                sub = jnp.take(h, first, axis=0)
         else:
-            sub = segment_mean(h, batch.node_segment, S, mask=node_mask)
+            sub = pool_copy_blocks(h, batch, S, reduce="mean")
+            if sub is None:
+                sub = segment_mean(h, batch.node_segment, S, mask=node_mask)
         if cfg.node_level:
             g = sub  # one row per original node
         else:

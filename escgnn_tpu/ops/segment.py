@@ -154,6 +154,33 @@ def pool_nodes_to_graphs(
     return fn(values, batch.node_graph, G, mask=mask, indices_are_sorted=True)
 
 
+def pool_copy_blocks(
+    values: jax.Array,
+    batch,
+    num_segments: int,
+    reduce: str = "mean",
+) -> "jax.Array | None":
+    """Pool node rows to subgraph-copy rows on the uniform per-copy
+    layout (data/uniform_copies.py): (N, F) -> (S, F) as a masked
+    reshape + axis reduction — block index == copy segment id, so the
+    result rows align 1:1 with the copy-level segment arrays. Returns
+    None when the batch is not copy-uniform (caller falls back to the
+    masked sorted segment reduction)."""
+    n_c = getattr(batch, "nodes_per_seg", None)
+    if n_c is None or values.shape[0] != num_segments * n_c:
+        return None
+    m = batch.node_mask.reshape(num_segments, n_c)
+    v = values.reshape(num_segments, n_c, *values.shape[1:])
+    mm = m.reshape(m.shape + (1,) * (v.ndim - 2))
+    s = jnp.sum(jnp.where(mm, v, 0.0), axis=1)
+    if reduce == "sum":
+        return s
+    if reduce == "mean":
+        cnt = jnp.maximum(jnp.sum(m.astype(s.dtype), axis=1), 1.0)
+        return s / cnt.reshape((num_segments,) + (1,) * (s.ndim - 1))
+    raise ValueError(reduce)
+
+
 def masked_mean(values: jax.Array, mask: jax.Array, axis=None) -> jax.Array:
     """Mean of `values` over positions where mask is true."""
     m = mask.reshape(mask.shape + (1,) * (values.ndim - mask.ndim))

@@ -182,7 +182,7 @@ def bce_graph_loss(out: jax.Array, batch: GraphBatch) -> jax.Array:
     return masked_bce_with_logits(out, batch)
 
 
-def make_pool_logits_step(model):
+def make_pool_logits_step(model, decode=None):
     """Graph-level logits over a STACKED batch pool in one dispatch:
     returns (logits (B, G, C), y (B, G, T), graph_mask (B, G)) so
     classification metrics (accuracy / AP / AUC) are computed on host
@@ -191,6 +191,8 @@ def make_pool_logits_step(model):
     @jax.jit
     def logits_pool(params, batch_stats, stacked: GraphBatch):
         def body(_, batch):
+            if decode is not None:
+                batch = decode(batch)
             out = model.apply(
                 {"params": params, "batch_stats": batch_stats},
                 batch,
@@ -338,6 +340,7 @@ def make_multi_train_step(
 def make_pool_epoch_fn(
     model,
     loss_fn: Callable[[jax.Array, GraphBatch], jax.Array],
+    decode=None,
 ):
     """The UN-JITTED whole-epoch pool scan: lax.scan of train steps over
     a permutation of a device-resident stacked batch pool. Shared body
@@ -359,6 +362,10 @@ def make_pool_epoch_fn(
 
         def body(state, i):
             batch = jax.tree.map(lambda a: a[i], stacked)
+            if decode is not None:
+                # compressed device pools (data/compress.py): cast the
+                # downcast leaves back; fuses into the step's consumers
+                batch = decode(batch)
             step_rng = jax.random.fold_in(rng, state.step)
             (loss, new_stats), grads = jax.value_and_grad(
                 compute, has_aux=True
@@ -384,6 +391,7 @@ def make_pool_epoch_fn(
 def make_pool_train_step(
     model,
     loss_fn: Callable[[jax.Array, GraphBatch], jax.Array],
+    decode=None,
 ):
     """One WHOLE EPOCH per device dispatch (jitted `make_pool_epoch_fn`).
 
@@ -393,7 +401,8 @@ def make_pool_train_step(
     HBM — with device-resident pools this makes an epoch a single
     dispatch (the remote tunnel costs ~25 ms per dispatch) and transfers
     nothing but the order vector."""
-    return jax.jit(make_pool_epoch_fn(model, loss_fn), donate_argnums=(0,))
+    return jax.jit(make_pool_epoch_fn(model, loss_fn, decode),
+                   donate_argnums=(0,))
 
 
 # keep-fraction of the models' BatchNorm EMA (MaskedBatchNorm uses
@@ -515,7 +524,7 @@ def make_eval_step(model, node_level: bool = True, bn_mode: str = "running"):
 
 
 def make_pool_eval_step(model, node_level: bool = True,
-                        bn_mode: str = "running"):
+                        bn_mode: str = "running", decode=None):
     """`make_eval_step` over a STACKED batch pool in one dispatch:
     returns (sum |err|, count) accumulated across the pool's batches
     (lax.scan over the leading axis — device-resident eval sets cost one
@@ -524,6 +533,8 @@ def make_pool_eval_step(model, node_level: bool = True,
     @jax.jit
     def eval_pool(params, batch_stats, stacked: GraphBatch):
         def body(acc, batch):
+            if decode is not None:
+                batch = decode(batch)
             if bn_mode == "batch":
                 out, _ = model.apply(
                     {"params": params, "batch_stats": batch_stats},
@@ -555,7 +566,7 @@ def make_pool_eval_step(model, node_level: bool = True,
     return eval_pool
 
 
-def make_pool_refresh_step(model):
+def make_pool_refresh_step(model, decode=None):
     """Exact-average BN running-stat re-estimation over a STACKED batch
     pool in one dispatch (the scan-pool form of `make_bn_refresh_step` +
     `refresh_bn_stats`): every batch's moments are computed from the same
@@ -564,6 +575,8 @@ def make_pool_refresh_step(model):
     @jax.jit
     def refresh_pool(batch_stats, params, stacked: GraphBatch):
         def body(_, batch):
+            if decode is not None:
+                batch = decode(batch)
             _, mut = model.apply(
                 {"params": params, "batch_stats": batch_stats},
                 batch,

@@ -410,7 +410,7 @@ def run_one(cfg, seed: int, out_dir: str) -> dict:
     # eval/refresh dispatch per pass (tunnel ~25 ms/dispatch; see the
     # regression drivers). Single membership pool; batch ORDER still
     # reshuffles every epoch via the scan's index vector.
-    [train_stack], n_train_batches = stacked_batch_pools(
+    [train_stack], n_train_batches, _ = stacked_batch_pools(
         splits["train"], spec, k=1, seed=seed
     )
     val_stack = stack_split(splits["val"], spec)

@@ -266,7 +266,7 @@ def main():
     # leaks host RSS on every device_put). --reshuffle_membership keeps
     # the reference's exact per-epoch semantics.
     if not args.reshuffle_membership:
-        stacked_pools, num_train_batches = stacked_batch_pools(
+        stacked_pools, num_train_batches, _ = stacked_batch_pools(
             splits["train"], spec, k=args.membership_pools, seed=args.seed
         )
     val_stack = stack_split(splits["val"], spec)

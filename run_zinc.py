@@ -302,7 +302,7 @@ def main():
     # (--reshuffle_membership: the reference's exact semantics, fresh
     # transfers each epoch). See stacked_batch_pools/stack_split.
     if not args.reshuffle_membership and args.mesh != "halo":
-        stacked_pools, num_train_batches = stacked_batch_pools(
+        stacked_pools, num_train_batches, _ = stacked_batch_pools(
             splits["train"], spec, k=args.membership_pools, seed=args.seed
         )
     val_stack = stack_split(splits["val"], spec)

@@ -106,12 +106,12 @@ def test_stacked_batch_pools_and_stack_split(rng):
         np.testing.assert_array_equal(np.asarray(stacked.x)[i], b.x)
 
     # pools: every pool covers all graphs; num_batches is the ceil count
-    pools, nb = stacked_batch_pools(graphs, spec, k=3, seed=0)
+    pools, nb, _ = stacked_batch_pools(graphs, spec, k=3, seed=0)
     assert len(pools) == 3 and nb == 3
     for p in pools:
         ys = np.asarray(p.y)[np.asarray(p.graph_mask)].ravel()
         assert sorted(ys.tolist()) == [float(i) for i in range(10)]
     # the byte budget caps k (one pool here is far over 1 byte)
-    few, _ = stacked_batch_pools(graphs, spec, k=3, seed=0,
+    few, _, _ = stacked_batch_pools(graphs, spec, k=3, seed=0,
                                  max_total_bytes=1)
     assert len(few) == 1

@@ -53,7 +53,7 @@ def build_pool(batch_size: int, num_graphs: int, seed: int):
         lambda: featurize_many(raw["train"], ecfg, num_workers=2),
     )
     spec = BatchSpec.uniform(graphs, batch_size, enc_layout="dedup")
-    pools, n_batches = stacked_batch_pools(graphs, spec, k=1, seed=seed)
+    pools, n_batches, _ = stacked_batch_pools(graphs, spec, k=1, seed=seed)
     real_edges = float(sum(g.num_edges for g in graphs))
     return pools[0], n_batches, real_edges, spec, graphs
 
