@@ -305,8 +305,11 @@ def load_ogb_graph_dir(root: str) -> dict:
         if not os.path.exists(path):
             return None
         with gzip.open(path, "rt") as f:
+            # real multi-task label files (e.g. ogbg-molpcba) encode
+            # missing labels as EMPTY csv fields -> NaN (unlabeled)
             rows = [
-                [dtype(v) for v in line.strip().split(",")]
+                [dtype(v) if v else float("nan")
+                 for v in line.strip("\n").split(",")]
                 for line in f
                 if line.strip()
             ]
@@ -381,7 +384,20 @@ def ogb_mol_splits(
         os.path.join(data_dir, dataset),
     ):
         if os.path.isdir(os.path.join(cand, "raw")):
-            return load_ogb_graph_dir(cand), True
+            splits = load_ogb_graph_dir(cand)
+            g0 = next(
+                (g for s in splits.values() for g in s if g.y is not None),
+                None,
+            )
+            if g0 is not None:
+                width = int(np.asarray(g0.y).reshape(-1).shape[0])
+                # fail HERE, not as an opaque broadcast error in the
+                # loss, when --num_tasks disagrees with the real labels
+                assert width == num_tasks, (
+                    f"{dataset}: real label width {width} != requested "
+                    f"num_tasks {num_tasks}; pass --num_tasks {width}"
+                )
+            return splits, True
     raw = synthetic_ogb_mol(
         num_graphs=num_graphs, seed=seed, num_tasks=num_tasks,
         nan_frac=nan_frac,

@@ -43,6 +43,11 @@ def main():
     p.add_argument("--epochs", type=int, default=30)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--num_graphs", type=int, default=1000)
+    p.add_argument("--copy_layout", default="uniform",
+                   choices=["ragged", "uniform"],
+                   help="NGNN/I2GNN batch layout: uniform per-copy "
+                        "blocks (einsum message passing; default) or "
+                        "the ragged union")
     p.add_argument("--num_workers", type=int, default=2)
     p.add_argument("--data_dir", default="data")
     p.add_argument("--res_dir", default=None)
@@ -191,9 +196,21 @@ def main():
         spec = BatchSpec.uniform(
             all_graphs, args.batch_size, enc_layout="dedup"
         )
+    elif args.model in ("NGNN", "I2GNN") and args.copy_layout == "uniform":
+        # uniform per-COPY blocks (data/uniform_copies.py): per-copy
+        # one-hot einsum message passing + reshape pooling; numerically
+        # equal to the ragged layout (tests/test_uniform_copies.py)
+        from escgnn_tpu.data.uniform_copies import uniformize_dataset
+
+        uni = uniformize_dataset(all_graphs)
+        for name in splits:
+            k = len(splits[name])
+            splits[name], uni = uni[:k], uni[k:]
+        all_graphs = [g for s2 in splits.values() for g in s2]
+        spec = BatchSpec.copy_uniform(all_graphs, batch_size=args.batch_size)
     else:
-        # copy-based / k-set batches: ragged width layout (copies multiply
-        # the node count; uniform blocks would square the padding)
+        # ragged union layout (k-set batches stay here; NGNN/I2GNN only
+        # with --copy_layout ragged)
         spec = BatchSpec.from_graphs(all_graphs, batch_size=args.batch_size)
     print("spec:", spec)
 

@@ -80,7 +80,7 @@ def test_qm9_sdf_parses_fixture():
     graphs = load_qm9_sdf(
         os.path.join(root, "gdb9.sdf"), os.path.join(root, "gdb9.sdf.csv")
     )
-    assert len(graphs) == 2
+    assert len(graphs) == 6  # no skip list passed
 
     # methane: C(+4H); x = [onehot(5) || atomic, acc, don, arom,
     # sp, sp2, sp3, num_hs]
@@ -104,12 +104,73 @@ def test_qm9_sdf_parses_fixture():
         g.y, np.asarray(list(range(4, 20)) + [1, 2, 3], np.float32)
     )
 
-    # CO2: two double bonds
+    # methane C is sp3, H atoms carry no hybridization flags
+    np.testing.assert_allclose(g.x[:, 9], 0)  # sp
+    np.testing.assert_allclose(g.x[:, 10], 0)  # sp2
+    np.testing.assert_allclose(g.x[:, 11], [1, 0, 0, 0, 0])  # sp3
+
+    # CO2: two double bonds; cumulated C -> sp, terminal O -> sp2
     g = graphs[1]
     assert g.num_nodes == 3
     np.testing.assert_array_equal(g.extras["node_type"], [3, 1, 3])
     np.testing.assert_allclose(g.edge_attr[:, 1], np.ones(4))  # double
     np.testing.assert_allclose(g.y[-3:], [0.5, 1.0, 1.5])
+    np.testing.assert_allclose(g.x[:, 9], [0, 1, 0])  # sp
+    np.testing.assert_allclose(g.x[:, 10], [1, 0, 1])  # sp2
+
+
+def test_qm9_aromaticity_and_hybridization():
+    """The kekulized-SDF chemistry (VERDICT r03 #8 / ADVICE r03):
+    ring-topology aromaticity + bond-order hybridization, hand values."""
+    from escgnn_tpu.data.qm9 import load_qm9_sdf
+
+    root = os.path.join(FIX, "qm9_root", "qm9", "raw")
+    graphs = load_qm9_sdf(
+        os.path.join(root, "gdb9.sdf"), os.path.join(root, "gdb9.sdf.csv")
+    )
+
+    # benzene (kekulized 1/2 alternating ring): 6 C aromatic + sp2,
+    # all 12 directed ring edges re-typed to the AROMATIC class, the
+    # 12 C-H edges stay single
+    benz = graphs[2]
+    assert benz.num_nodes == 12
+    np.testing.assert_allclose(benz.x[:6, 8], 1)  # aromatic
+    np.testing.assert_allclose(benz.x[6:, 8], 0)
+    np.testing.assert_allclose(benz.x[:6, 10], 1)  # sp2
+    np.testing.assert_allclose(benz.x[:, 9], 0)  # no sp
+    assert benz.edge_attr[:, 3].sum() == 12  # aromatic class edges
+    assert benz.edge_attr[:, 0].sum() == 12  # C-H singles
+    # no kekulé single/double classes survive on the ring
+    assert benz.edge_attr[:, 1].sum() == 0
+
+    # propyne HC#C-CH3: triple-bond carbons sp, methyl carbon sp3
+    prop = graphs[3]
+    np.testing.assert_allclose(prop.x[:3, 9], [1, 1, 0])
+    np.testing.assert_allclose(prop.x[:3, 11], [0, 0, 1])
+    assert prop.edge_attr[:, 2].sum() == 2  # one triple bond, 2 dirs
+
+    # furan (kekulized 5-ring, O lone-pair donor): all 5 ring atoms
+    # aromatic + sp2, 10 directed aromatic ring edges
+    fur = graphs[4]
+    np.testing.assert_allclose(fur.x[:5, 8], 1)
+    np.testing.assert_allclose(fur.x[:5, 10], 1)
+    assert fur.edge_attr[:, 3].sum() == 10
+
+
+def test_qm9_uncharacterized_skip_list():
+    from escgnn_tpu.data.qm9 import load_qm9_sdf, load_uncharacterized
+
+    root = os.path.join(FIX, "qm9_root", "qm9", "raw")
+    skip = load_uncharacterized(os.path.join(root, "uncharacterized.txt"))
+    assert skip == {5}
+    graphs = load_qm9_sdf(
+        os.path.join(root, "gdb9.sdf"), os.path.join(root, "gdb9.sdf.csv"),
+        skip_path=os.path.join(root, "uncharacterized.txt"),
+    )
+    assert len(graphs) == 5
+    # gdb_6 (ammonia) excluded: no graph has its y row
+    for g in graphs:
+        assert not np.allclose(g.y[-3:], [0.4, 0.8, 1.2])
 
 
 def test_qm9_splits_real_branch_and_featurizer():
@@ -119,12 +180,14 @@ def test_qm9_splits_real_branch_and_featurizer():
     from escgnn_tpu.featurize.transform import featurize_many
 
     graphs, is_real = qm9_splits(os.path.join(FIX, "qm9_root"))
-    assert is_real and len(graphs) == 2
+    assert is_real and len(graphs) == 5  # skip list drops gdb_6
     feats = featurize_many(
         graphs, EscConfig(h=2, use_rd=True, self_loop=True), num_workers=0
     )
     feats = [append_distance_edge_attr(g) for g in feats]
-    b = pad_and_batch(feats, BatchSpec.from_graphs(feats, batch_size=2))
+    b = pad_and_batch(
+        feats, BatchSpec.from_graphs(feats, batch_size=len(feats))
+    )
     # distance column appended; self-loop distances are 0
     assert b.edge_attr.shape[-1] == 5
     assert np.all(np.isfinite(b.edge_attr))

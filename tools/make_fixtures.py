@@ -86,18 +86,88 @@ def make_qm9():
          (1.16, 0.0, 0.0, "O")],
         [(1, 2, 2), (2, 3, 2)],
     )
+    # benzene, KEKULIZED (alternating 1/2 ring bonds) + 6 H — exercises
+    # the ring-topology aromaticity perception (gdb9.sdf never stores
+    # SDF bond type 4)
+    import math
+
+    benz_atoms = []
+    benz_bonds = []
+    for k in range(6):
+        a = math.radians(60 * k)
+        benz_atoms.append(
+            (round(1.39 * math.cos(a), 4), round(1.39 * math.sin(a), 4),
+             0.0, "C")
+        )
+    for k in range(6):
+        a = math.radians(60 * k)
+        benz_atoms.append(
+            (round(2.47 * math.cos(a), 4), round(2.47 * math.sin(a), 4),
+             0.0, "H")
+        )
+    for k in range(6):
+        benz_bonds.append((k + 1, (k + 1) % 6 + 1, 1 + (k % 2)))
+        benz_bonds.append((k + 1, k + 7, 1))
+    m3 = molblock("gdb_3", benz_atoms, benz_bonds)
+    # propyne: HC#C-CH3 — exercises sp inference from the triple bond
+    m4 = molblock(
+        "gdb_4",
+        [(0.0, 0.0, 0.0, "C"),
+         (1.20, 0.0, 0.0, "C"),
+         (2.66, 0.0, 0.0, "C"),
+         (-1.06, 0.0, 0.0, "H"),
+         (3.02, 1.02, 0.0, "H"),
+         (3.02, -0.51, 0.88, "H"),
+         (3.02, -0.51, -0.88, "H")],
+        [(1, 2, 3), (2, 3, 1), (1, 4, 1), (3, 5, 1), (3, 6, 1),
+         (3, 7, 1)],
+    )
+    # furan, kekulized: O1-C2=C3-C4=C5-O1 with 4 H — the 5-ring
+    # lone-pair-donor aromatic pattern
+    m5 = molblock(
+        "gdb_5",
+        [(0.0, 1.16, 0.0, "O"),
+         (1.09, 0.35, 0.0, "C"),
+         (0.68, -0.96, 0.0, "C"),
+         (-0.68, -0.96, 0.0, "C"),
+         (-1.09, 0.35, 0.0, "C"),
+         (2.09, 0.75, 0.0, "H"),
+         (1.33, -1.82, 0.0, "H"),
+         (-1.33, -1.82, 0.0, "H"),
+         (-2.09, 0.75, 0.0, "H")],
+        [(1, 2, 1), (2, 3, 2), (3, 4, 1), (4, 5, 2), (5, 1, 1),
+         (2, 6, 1), (3, 7, 1), (4, 8, 1), (5, 9, 1)],
+    )
+    # an "uncharacterized" molecule that the skip list excludes
+    m6 = molblock(
+        "gdb_6",
+        [(0.0, 0.0, 0.0, "N"), (0.0, 0.0, 1.01, "H"),
+         (0.95, 0.0, -0.34, "H"), (-0.48, -0.83, -0.34, "H")],
+        [(1, 2, 1), (1, 3, 1), (1, 4, 1)],
+    )
     root = os.path.join(FIX, "qm9_root", "qm9", "raw")
     os.makedirs(root, exist_ok=True)
     with open(os.path.join(root, "gdb9.sdf"), "w") as f:
-        f.write(m1 + "\n" + m2 + "\n")
+        f.write("\n".join([m1, m2, m3, m4, m5, m6]) + "\n")
     header = ("mol_id,A,B,C,mu,alpha,homo,lumo,gap,r2,zpve,u0,u298,h298,"
               "g298,cv,u0_atom,u298_atom,h298_atom,g298_atom")
     rows = [
         "gdb_1," + ",".join(str(float(v)) for v in range(1, 20)),
         "gdb_2," + ",".join(str(float(v) * 0.5) for v in range(1, 20)),
+        "gdb_3," + ",".join(str(float(v) * 0.1) for v in range(1, 20)),
+        "gdb_4," + ",".join(str(float(v) * 0.2) for v in range(1, 20)),
+        "gdb_5," + ",".join(str(float(v) * 0.3) for v in range(1, 20)),
+        "gdb_6," + ",".join(str(float(v) * 0.4) for v in range(1, 20)),
     ]
     with open(os.path.join(root, "gdb9.sdf.csv"), "w") as f:
         f.write(header + "\n" + "\n".join(rows) + "\n")
+    # PyG-style skip list: header lines then "   <idx>  ..." rows;
+    # excludes gdb_6 (record index 5 -> 1-based 6)
+    with open(os.path.join(root, "uncharacterized.txt"), "w") as f:
+        f.write("\n".join(
+            ["uncharacterized molecules", "=" * 20,
+             "   6   gdb_6   failed"]
+        ) + "\n")
 
 
 def make_ogb():
