@@ -457,6 +457,7 @@ def run_secondary(gsets):
     model = I2GNN(I2GNNConfig(
         num_layers=3, hidden=64, use_rd=True,
         subgraph2_pooling="mean-center-side", gate=True, out_dim=1,
+        compute_dtype="bfloat16",
     ))
     real_edges = int(np.sum([g.num_edges for g in i2_graphs]))
     f = bench_model("i2gnn", graphs, spec, model, l1_graph_loss, n_ppgn,
@@ -475,7 +476,7 @@ def run_secondary(gsets):
     spec = BatchSpec.copy_uniform(graphs, batch_size=len(graphs),
                                   exact=True)
     model = NGNN(NGNNConfig(num_layers=5, hidden=64, use_rd=True,
-                            out_dim=1))
+                            out_dim=1, compute_dtype="bfloat16"))
     real_edges = int(np.sum([g.num_edges for g in ngnn_raw]))
     f = bench_model("ngnn", graphs, spec, model, l1_graph_loss, n_ppgn,
                     real_edges=real_edges)

@@ -41,6 +41,7 @@ class I2GNNConfig:
     z_vocab: int = 100
     edge_vocab: int = 5
     use_rd: bool = False
+    compute_dtype: str = "float32"  # bfloat16: bf16 conv einsums
     subgraph_pooling: str = "mean"  # mean | add | mean-context
     subgraph2_pooling: str = "mean"  # mean | add | center | mean-center | mean-center-side
     graph_aggr: str = "mean"  # mean | add
@@ -193,6 +194,7 @@ class I2GNN(nn.Module):
             h = NGNNGINConv(
                 m_in=2 * m_in, m_out=cfg.hidden, edge_vocab=cfg.edge_vocab,
                 nodes_per_seg=batch.nodes_per_seg,
+                compute_dtype=cfg.compute_dtype,
                 name=f"conv{layer}",
             )(
                 h, batch.senders, batch.receivers, batch.edge_attr,

@@ -36,6 +36,7 @@ class NGNNConfig:
     subgraph_pooling: str = "mean"  # mean | center
     out_dim: int = 1
     residual: bool = True
+    compute_dtype: str = "float32"  # bfloat16: bf16 conv einsums
     # node-level head (reference zinc_cycle_models.py NGNN variant): the
     # subgraph rows ARE the original nodes (one copy per node), so stop
     # at the subgraph level and run the fc head per row
@@ -55,6 +56,7 @@ class NGNNGINConv(nn.Module):
     m_out: int
     edge_vocab: int
     nodes_per_seg: "int | None" = None
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(
@@ -68,6 +70,11 @@ class NGNNGINConv(nn.Module):
             self.edge_vocab, self.m_in,
             embedding_init=nn.initializers.normal(1.0), name="edge_encoder",
         )(edge_attr.astype(jnp.int32).reshape(edge_attr.shape[0]))
+        if self.compute_dtype == "bfloat16":
+            # bf16 message/aggregation path (flagship convention: f32
+            # master params, BN statistics stay f32 inside)
+            x = x.astype(jnp.bfloat16)
+            e = e.astype(jnp.bfloat16)
         if self.nodes_per_seg is not None:
             agg = _dense_local_aggregate(
                 x, senders, receivers, e, edge_mask, self.nodes_per_seg
@@ -131,6 +138,7 @@ class NGNN(nn.Module):
             h = NGNNGINConv(
                 m_in=2 * m_in, m_out=cfg.hidden, edge_vocab=cfg.edge_vocab,
                 nodes_per_seg=batch.nodes_per_seg,
+                compute_dtype=cfg.compute_dtype,
                 name=f"conv{layer}",
             )(
                 h, batch.senders, batch.receivers, batch.edge_attr,
