@@ -169,7 +169,8 @@ def test_ep_pool_epoch_matches_single_device_pool():
         graphs = make_graphs(rng_np, k=8)
         spec = BatchSpec.uniform(graphs, 4, enc_layout="dedup")
         model = NestedGINEff(NestedGINEffConfig(hidden=16, num_layers=2))
-        pool_host, n_batches = stacked_batch_pools(graphs, spec, k=1, seed=0)
+        pool_host, n_batches, _ = stacked_batch_pools(graphs, spec, k=1,
+                                                      seed=0)
         pool = pool_host[0]
         b0 = jax.tree.map(lambda a: a[0], pool)
         variables = model.init(jax.random.key(0), b0)
