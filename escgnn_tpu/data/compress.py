@@ -65,15 +65,17 @@ def _compress_leaf(v):
 
 def compress_tree(tree):
     """Downcast each leaf losslessly. Returns (compressed_tree, metas);
-    pass `metas` to `make_decoder`."""
+    pass `metas` (a {leaf path: original dtype} dict) to
+    `make_decoder`."""
     import jax
+    from jax.tree_util import keystr, tree_flatten_with_path
 
-    leaves, treedef = jax.tree.flatten(tree)
-    out, metas = [], []
-    for v in leaves:
+    leaves_with_path, treedef = tree_flatten_with_path(tree)
+    out, metas = [], {}
+    for path, v in leaves_with_path:
         cv, m = _compress_leaf(v)
         out.append(cv)
-        metas.append(m)
+        metas[keystr(path)] = m
     return jax.tree.unflatten(treedef, out), metas
 
 
@@ -104,23 +106,26 @@ def compress_tree_like(tree, ref_compressed):
 def make_decoder(metas):
     """Device-side inverse of `compress_tree`: casts every leaf back to
     its (canonicalized) original dtype — a no-op for leaves that were
-    not downcast. Identity-cheap — the casts fuse into the first
-    consumer under jit, and reading int8 rows from HBM is 4x less
-    traffic than the f32 they decode to."""
+    not downcast. Keyed by leaf PATH, so a decoder built from one stack
+    also restores structurally-reduced views of it (e.g. the ep
+    shardings drop the sorted-CSR leaves); unknown paths pass through.
+    Identity-cheap — the casts fuse into the first consumer under jit,
+    and reading int8 rows from HBM is 4x less traffic than the f32
+    they decode to."""
     import jax
+    from jax.tree_util import keystr, tree_flatten_with_path
 
-    targets = [
-        None if m is None else jax.dtypes.canonicalize_dtype(np.dtype(m))
-        for m in metas
-    ]
+    targets = {
+        k: None if m is None else jax.dtypes.canonicalize_dtype(np.dtype(m))
+        for k, m in metas.items()
+    }
 
     def decode(tree):
-        leaves, treedef = jax.tree.flatten(tree)
-        assert len(leaves) == len(targets), (len(leaves), len(targets))
-        out = [
-            l if t is None or l.dtype == t else l.astype(t)
-            for l, t in zip(leaves, targets)
-        ]
+        leaves_with_path, treedef = tree_flatten_with_path(tree)
+        out = []
+        for path, l in leaves_with_path:
+            t = targets.get(keystr(path))
+            out.append(l if t is None or l.dtype == t else l.astype(t))
         return jax.tree.unflatten(treedef, out)
 
     return decode

@@ -86,6 +86,7 @@ def make_dp_pool_train_step(
     loss_fn: Callable,
     mesh: Mesh,
     axis: str = "data",
+    decode=None,
 ):
     """Whole-epoch data-parallel training in ONE dispatch: `lax.scan`
     over an order matrix on a replicated device-resident batch pool.
@@ -109,6 +110,9 @@ def make_dp_pool_train_step(
 
         def body(state, idxs):
             batch = jax.tree.map(lambda a: a[idxs[my]], stacked)
+            if decode is not None:
+                # compressed device pools (data/compress.py)
+                batch = decode(batch)
             step_rng = jax.random.fold_in(
                 jax.random.fold_in(rng, state.step), my
             )

@@ -199,6 +199,7 @@ def make_dp_ep_pool_train_step(
     example_pool: GraphBatch,
     data_axis: str = "data",
     model_axis: str = "model",
+    decode=None,
 ):
     """Whole-epoch 2-D dp x ep training in ONE dispatch: the
     `make_ep_pool_train_step` scan with `shard_pool_2d` shardings —
@@ -223,7 +224,7 @@ def make_dp_ep_pool_train_step(
     )
     repl = NamedSharding(mesh, P())
     return jax.jit(
-        make_pool_epoch_fn(model, loss_fn),
+        make_pool_epoch_fn(model, loss_fn, decode),
         in_shardings=(None, pool_sh, repl, repl),
         donate_argnums=(0,),
     )
@@ -235,6 +236,7 @@ def make_ep_pool_train_step(
     mesh: Mesh,
     example_pool: GraphBatch,
     axis: str = "model",
+    decode=None,
 ):
     """Whole-epoch edge-partitioned training in ONE dispatch: `lax.scan`
     over a shuffled order vector of a device-resident stacked pool whose
@@ -261,7 +263,7 @@ def make_ep_pool_train_step(
     )
     repl = NamedSharding(mesh, P())
     return jax.jit(
-        make_pool_epoch_fn(model, loss_fn),
+        make_pool_epoch_fn(model, loss_fn, decode),
         in_shardings=(None, pool_sh, repl, repl),
         donate_argnums=(0,),
     )

@@ -291,11 +291,8 @@ def main():
             "--mesh uses device-resident pools"
         )
         if args.mesh == "dp":
-            from escgnn_tpu.parallel.data_parallel import (
-                make_dp_pool_train_step,
-            )
-
-            dp_pool_step = make_dp_pool_train_step(model, l1_node_loss, mesh)
+            # dp_pool_step is built after the pools (it needs the
+            # compressed-pool decoder)
             print(f"mesh: dp over {n_dev} devices "
                   f"(effective batch {n_dev * args.batch_size})")
         elif args.mesh == "halo":
@@ -380,6 +377,13 @@ def main():
                 f"{num_train_batches}"
             )
             stacked_pools = [replicate(p, mesh) for p in stacked_pools]
+            from escgnn_tpu.parallel.data_parallel import (
+                make_dp_pool_train_step,
+            )
+
+            dp_pool_step = make_dp_pool_train_step(
+                model, l1_node_loss, mesh, decode=pool_decode
+            )
         elif args.mesh == "halo":
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -413,7 +417,8 @@ def main():
 
             stacked_pools = [shard_pool_2d(p, mesh) for p in stacked_pools]
             ep_pool_step = make_dp_ep_pool_train_step(
-                model, l1_node_loss, mesh, stacked_pools[0]
+                model, l1_node_loss, mesh, stacked_pools[0],
+                decode=pool_decode,
             )
         else:
             # ep: edge arrays of the pools sharded over the mesh
@@ -426,7 +431,8 @@ def main():
                 shard_pool_by_edges(p, mesh) for p in stacked_pools
             ]
             ep_pool_step = make_ep_pool_train_step(
-                model, l1_node_loss, mesh, stacked_pools[0]
+                model, l1_node_loss, mesh, stacked_pools[0],
+                decode=pool_decode,
             )
         val_stack = replicate(val_stack, mesh)
         test_stack = replicate(test_stack, mesh)
