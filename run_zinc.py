@@ -80,6 +80,10 @@ def main():
     p.add_argument("--res_dir", default=None)
     p.add_argument("--membership_pools", type=int, default=4,
                    help="pre-built membership-shuffled train batch pools cycled across epochs (bounded-transfer stand-in for per-epoch reshuffling)")
+    p.add_argument("--compress_pools", action="store_true",
+                   help="store device-resident pools losslessly downcast "
+                        "(int8/int16; data/compress.py) with on-device "
+                        "decode in the scanned step")
     p.add_argument("--reshuffle_membership", action="store_true",
                    help="re-form train batches every epoch (reference-exact shuffling; leaks host RSS on the remote-tunnel env — see train pool comment)")
     p.add_argument("--bn_eval", default="running",
@@ -278,11 +282,8 @@ def main():
             "--mesh uses device-resident pools"
         )
         if args.mesh == "dp":
-            from escgnn_tpu.parallel.data_parallel import (
-                make_dp_pool_train_step,
-            )
-
-            dp_pool_step = make_dp_pool_train_step(model, l1_graph_loss, mesh)
+            # dp_pool_step is built after the pools (it needs the
+            # compressed-pool decoder)
             print(f"mesh: dp over {n_dev} devices "
                   f"(effective batch {n_dev * args.batch_size})")
         elif args.mesh == "halo":
@@ -307,8 +308,6 @@ def main():
                   f"(edge arrays sharded, batch {args.batch_size})")
 
     train_step = make_train_step(model, l1_graph_loss)
-    if not args.reshuffle_membership:
-        pool_train_step = make_pool_train_step(model, l1_graph_loss)
     sched = PlateauScheduler(
         factor=args.lr_decay_factor, patience=args.patience
     )
@@ -320,12 +319,29 @@ def main():
     # (--reshuffle_membership: the reference's exact semantics, fresh
     # transfers each epoch). See stacked_batch_pools/stack_split.
     if not args.reshuffle_membership and args.mesh != "halo":
-        stacked_pools, num_train_batches, _ = stacked_batch_pools(
-            splits["train"], spec, k=args.membership_pools, seed=args.seed
+        stacked_pools, num_train_batches, pool_decode = stacked_batch_pools(
+            splits["train"], spec, k=args.membership_pools, seed=args.seed,
+            compress=args.compress_pools,
+            max_total_bytes=(10 if args.compress_pools else 4) * 2**30,
         )
-    val_stack = stack_split(splits["val"], spec)
-    test_stack = stack_split(splits["test"], spec)
-    refresh_stack = stack_split(splits["train"][: 8 * args.batch_size], spec)
+        pool_train_step = make_pool_train_step(
+            model, l1_graph_loss, decode=pool_decode
+        )
+    if args.compress_pools:
+        from escgnn_tpu.data.prefetch import stack_split_compressed
+
+        val_stack, eval_decode = stack_split_compressed(splits["val"], spec)
+        test_stack, _ = stack_split_compressed(splits["test"], spec)
+        refresh_stack, _ = stack_split_compressed(
+            splits["train"][: 8 * args.batch_size], spec
+        )
+    else:
+        eval_decode = None
+        val_stack = stack_split(splits["val"], spec)
+        test_stack = stack_split(splits["test"], spec)
+        refresh_stack = stack_split(
+            splits["train"][: 8 * args.batch_size], spec
+        )
     if mesh is not None:
         if args.mesh == "dp":
             # dp: pools and eval stacks replicated over the mesh
@@ -334,6 +350,13 @@ def main():
                 f"{num_train_batches}"
             )
             stacked_pools = [replicate(p, mesh) for p in stacked_pools]
+            from escgnn_tpu.parallel.data_parallel import (
+                make_dp_pool_train_step,
+            )
+
+            dp_pool_step = make_dp_pool_train_step(
+                model, l1_graph_loss, mesh, decode=pool_decode
+            )
         elif args.mesh == "halo":
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -367,7 +390,8 @@ def main():
 
             stacked_pools = [shard_pool_2d(p, mesh) for p in stacked_pools]
             ep_pool_step = make_dp_ep_pool_train_step(
-                model, l1_graph_loss, mesh, stacked_pools[0]
+                model, l1_graph_loss, mesh, stacked_pools[0],
+                decode=pool_decode,
             )
         else:
             # ep: edge arrays of the pools sharded over the mesh
@@ -380,15 +404,16 @@ def main():
                 shard_pool_by_edges(p, mesh) for p in stacked_pools
             ]
             ep_pool_step = make_ep_pool_train_step(
-                model, l1_graph_loss, mesh, stacked_pools[0]
+                model, l1_graph_loss, mesh, stacked_pools[0],
+                decode=pool_decode,
             )
         val_stack = replicate(val_stack, mesh)
         test_stack = replicate(test_stack, mesh)
         refresh_stack = replicate(refresh_stack, mesh)
     eval_pool = make_pool_eval_step(
-        model, node_level=False, bn_mode=args.bn_eval
+        model, node_level=False, bn_mode=args.bn_eval, decode=eval_decode
     )
-    refresh_pool = make_pool_refresh_step(model)
+    refresh_pool = make_pool_refresh_step(model, decode=eval_decode)
 
     def evaluate(stacked):
         e, c = eval_pool(state.params, state.batch_stats, stacked)
