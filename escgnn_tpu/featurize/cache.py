@@ -48,7 +48,11 @@ def save_graphs(path: str, graphs: Sequence[GraphData]) -> None:
             out[f"extra.{k}.shape"] = np.asarray(
                 [v.shape for v in vals], np.int64
             ).reshape(len(vals), -1)
-    np.savez_compressed(path, **out)
+    # atomic publish: concurrent readers (e.g. a queued TPU run racing a
+    # CPU-side cache-prep process) must never observe a torn .npz
+    tmp = f"{path}.tmp.{os.getpid()}.npz"  # .npz suffix: savez appends it otherwise
+    np.savez_compressed(tmp, **out)
+    os.replace(tmp, path)
 
 
 def load_graphs(path: str) -> list[GraphData]:
