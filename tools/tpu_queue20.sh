@@ -1,11 +1,12 @@
 #!/bin/bash
 # Round-4 TPU queue #20 (chained on queue 19's bash PID): opportunistic
-# fills if queue 19 finishes before its deadline —
-#  1. gps_mnist   — zoo-tail GPS quality row (superpixels accuracy),
-#                   VERDICT r03 weak #6
-#  2. gps_aqsol   — second zoo-tail row (AQSOL MAE)
-#  3. cgra_t4_ppgn_n10k — extend the zoo-beats-flagship t4 result with
+# fills if queue 19 finishes before its deadline. The GPS zoo-tail
+# quality rows moved to tools/cpu_queue_gps.sh (they don't need the
+# chip); what remains here is chip-bound:
+#  1. cgra_t4_ppgn_n10k — extend the zoo-beats-flagship t4 result with
 #                   2x data (round-4 best 0.10804 @5k)
+#  2. i2gnn blocked profile — per-fusion HBM breakdown of the blocked
+#                   copy layout (tools/profile_step.py --model i2gnn)
 cd /root/repo
 mkdir -p results results_archive
 
@@ -44,12 +45,6 @@ run_if() {
   archive "$name" "$rd"
 }
 
-run_if 2400 gps_mnist results/gps_mnist \
-  python -u run_gps.py --cfg configs/gps/mnist-GPS.yaml \
-    out_dir results/gps_mnist
-run_if 2100 gps_aqsol results/gps_aqsol \
-  python -u run_gps.py --cfg configs/gps/aqsol-GPS.yaml \
-    out_dir results/gps_aqsol
 run_if 3600 cgra_t4_ppgn_n10k results/cgra_t4_ppgn_n10k \
   python -u run_graphcount.py --dataset count_graphlet --model PPGN_eff \
     --target 4 --h 4 --batch_size 128 --lr 5e-4 --lr_decay_factor 0.8 \
