@@ -89,20 +89,32 @@ def device_peak_flops():
 
 
 def step_cost(step, state, batch, rng):
-    """(flops, bytes) of the compiled single train step (fwd+bwd+
-    optimizer) from XLA's cost analysis of the fused executable. The
-    "bytes accessed" figure counts operand+output bytes of the FUSED ops,
-    i.e. an analytic estimate of HBM traffic (fusion-internal
-    intermediates excluded) — the denominator for `roofline_frac`."""
+    """(flops, boundary_bytes, opcount_bytes) of the compiled single
+    train step (fwd+bwd+optimizer).
+
+    `boundary_bytes` (utils/hbm.py) charges operand/output bytes at the
+    FUSION BOUNDARIES of the entry computation — real HBM traffic of the
+    fused executable, the honest denominator for `roofline_frac`.
+    `opcount_bytes` is XLA cost_analysis's per-op "bytes accessed" sum,
+    which counts ops INSIDE fusions and overestimates traffic 2-3x on a
+    fused TPU program (r04 lines showed analytic fracs of 1.2-2.6);
+    kept for cross-round comparability as `bytes_per_step_opcount`."""
+    from escgnn_tpu.utils.hbm import compiled_boundary_bytes
+
     try:
-        ca = step.lower(state, batch, rng).compile().cost_analysis()
+        compiled = step.lower(state, batch, rng).compile()
+    except Exception:
+        return None, None, None
+    bb = compiled_boundary_bytes(compiled)
+    try:
+        ca = compiled.cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
         f = float(ca.get("flops", 0.0))
         b = float(ca.get("bytes accessed", 0.0))
-        return (f if f > 0 else None), (b if b > 0 else None)
+        return (f if f > 0 else None), bb, (b if b > 0 else None)
     except Exception:
-        return None, None
+        return None, bb, None
 
 
 def _raw_zinc_graphs(num, seed):
@@ -299,13 +311,17 @@ def scan_time(step, state, batch, rng, n_iter, windows=3):
     return times, state, scan_steps
 
 
-def perf_fields(times, n_iter, real_edges, fps, peak, bps=None, bw=None):
+def perf_fields(times, n_iter, real_edges, fps, peak, bps=None, bw=None,
+                bps_opcount=None):
     """edges/s + step-time + MFU + roofline fields shared by every line.
 
     `roofline_frac` = achieved fraction of the BINDING chip resource:
     max(MFU, achieved-HBM-BW / peak BW); `binding_resource` names which
     side binds. Sparse message passing is HBM-bound, so its honest
-    utilization number is the bandwidth side, not MFU."""
+    utilization number is the bandwidth side, not MFU. `bps` is the
+    fusion-boundary HBM estimate (utils/hbm.py — real traffic of the
+    fused program); `bps_opcount` is XLA's per-op sum (2-3x overcount,
+    kept for cross-round comparability)."""
     mean_t = float(np.mean(times))
     std_t = float(np.std(times))
     ms = mean_t / n_iter * 1e3
@@ -324,6 +340,7 @@ def perf_fields(times, n_iter, real_edges, fps, peak, bps=None, bw=None):
         "flops_per_step": fps,
         "mfu": mfu,
         "bytes_per_step": bps,
+        "bytes_per_step_opcount": bps_opcount,
         "hbm_bw_frac": bw_frac,
     }
     if mfu is not None or bw_frac is not None:
@@ -359,11 +376,11 @@ def bench_model(name, graphs, spec, model, loss_fn, n_iter,
     step = make_train_step(model, loss_fn)
     state, loss = step(state, batch, jax.random.key(1))
     float(loss)
-    fps, bps = step_cost(step, state, batch, jax.random.key(1))
+    fps, bps, bps_op = step_cost(step, state, batch, jax.random.key(1))
     times, state, _ = scan_time(step, state, batch, jax.random.key(1),
                                 n_iter)
     return perf_fields(times, n_iter, real_edges, fps, device_peak_flops(),
-                       bps, device_peak_bw())
+                       bps, device_peak_bw(), bps_opcount=bps_op)
 
 
 def run_secondary(gsets):
@@ -640,7 +657,7 @@ def main():
     step = make_train_step(model, l1_graph_loss)
     state, loss = step(state, batch, rng)
     float(loss)
-    fps, bps = step_cost(step, state, batch, rng)
+    fps, bps, bps_op = step_cost(step, state, batch, rng)
 
     n_iter = 20 if SMOKE else 400
     times, state, scan_steps = scan_time(step, state, batch, rng, n_iter,
@@ -654,7 +671,8 @@ def main():
             float(losses[-1])
 
     fields = perf_fields(times, n_iter, real_edges, fps,
-                         device_peak_flops(), bps, device_peak_bw())
+                         device_peak_flops(), bps, device_peak_bw(),
+                         bps_opcount=bps_op)
     print(
         json.dumps(
             dict(
