@@ -53,6 +53,14 @@ run_if 6000 ccyc_t2_n160k results/ccyc_t2_n160k \
   python -u run_graphcount.py --target 2 --h 2 --batch_size 128 \
     --lr 5e-3 --epochs 1200 --num_graphs 160000 --compress_pools \
     --num_workers 2 --res_dir results/ccyc_t2_n160k
+# t3 PPGN retry: the 14:26 attempt hit RESOURCE_EXHAUSTED right after
+# bench_r4 exited (residual device memory over the tunnel); 900 epochs
+# is plenty (t4's best epoch was 467)
+run_if 3400 ccyc_t3_ppgn results/ccyc_t3_ppgn \
+  python -u run_graphcount.py --model PPGN_eff --target 3 --h 3 \
+    --batch_size 128 --lr 5e-4 --lr_decay_factor 0.8 --patience 30 \
+    --grad_clip 1.0 --epochs 900 --num_graphs 5000 \
+    --num_workers 2 --res_dir results/ccyc_t3_ppgn
 run_if 3600 cgra_t4_ppgn_n10k results/cgra_t4_ppgn_n10k \
   python -u run_graphcount.py --dataset count_graphlet --model PPGN_eff \
     --target 4 --h 4 --batch_size 128 --lr 5e-4 --lr_decay_factor 0.8 \
