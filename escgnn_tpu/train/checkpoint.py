@@ -23,6 +23,21 @@ class CheckpointManager:
                 max_to_keep=max_to_keep, create=True
             ),
         )
+        # orbax spawns non-daemon background threads; an unclosed manager
+        # can hang interpreter exit after the run completes (observed on
+        # the mnist GPS CPU runs, 2026-08-21). Close at exit as a net.
+        import atexit
+
+        self._closed = False
+        atexit.register(self.close)
+
+    def close(self) -> None:
+        if not self._closed:
+            self._closed = True
+            try:
+                self._mgr.close()
+            except Exception:
+                pass
 
     def save(self, step: int, tree: Any, force: bool = False) -> None:
         self._mgr.save(step, args=ocp.args.StandardSave(tree), force=force)
