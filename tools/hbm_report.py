@@ -26,7 +26,7 @@ from escgnn_tpu.utils.hbm import boundary_traffic  # noqa: E402
 
 def build(model_name):
     from escgnn_tpu.data.batching import BatchSpec
-    from escgnn_tpu.train.loop import l1_graph_loss
+    from escgnn_tpu.train.loop import l1_graph_loss, l1_node_loss
 
     if model_name == "flagship":
         graphs = B.make_zinc_like_graphs(num=128)
@@ -67,9 +67,14 @@ def build(model_name):
     elif model_name == "ppgn":
         graphs = B.make_counting_graphs(num=128)
         spec = BatchSpec.from_graphs(graphs, batch_size=len(graphs))
-        from escgnn_tpu.models.ppgn import PPGNEff, PPGNEffConfig
+        from escgnn_tpu.models.ppgn import PPGN, PPGNConfig
 
-        model = PPGNEff(PPGNEffConfig(out_dim=1, node_level=True))
+        model = PPGN(PPGNConfig(
+            emb_dim=128, num_rb_layers=3,
+            max_nodes=spec.max_nodes_per_graph, node_level=True,
+            use_esc=True, compute_dtype="bfloat16",
+        ))
+        return graphs, spec, model, l1_node_loss
     else:
         raise SystemExit(f"unknown model {model_name}")
     return graphs, spec, model, l1_graph_loss
