@@ -300,34 +300,50 @@ def scan_time(step, state, batch, rng, n_iter, windows=3):
 
         return jax.lax.scan(body, state, jnp.arange(n_iter))
 
-    state, losses = scan_steps(state, batch, rng)
-    float(losses[-1])  # compile + warm
+    # compile explicitly so the while-loop BODY's fusion-boundary bytes
+    # can be read off the executable: XLA hoists batch-derived loop
+    # invariants (one-hot operands, z-emb expansions) out of the body,
+    # so the body bytes — not the single-step program's — are the
+    # honest per-iteration HBM traffic of this timed loop
+    from escgnn_tpu.utils.hbm import scan_body_bytes
+
+    compiled = scan_steps.lower(state, batch, rng).compile()
+    sb_bytes = scan_body_bytes(compiled)
+    state, losses = compiled(state, batch, rng)
+    float(losses[-1])  # warm
     times = []
     for _ in range(windows):
         t0 = time.perf_counter()
-        state, losses = scan_steps(state, batch, rng)
+        state, losses = compiled(state, batch, rng)
         float(losses[-1])
         times.append(time.perf_counter() - t0)
-    return times, state, scan_steps
+    return times, state, compiled, sb_bytes
 
 
 def perf_fields(times, n_iter, real_edges, fps, peak, bps=None, bw=None,
-                bps_opcount=None):
+                bps_opcount=None, bps_scanbody=None):
     """edges/s + step-time + MFU + roofline fields shared by every line.
 
     `roofline_frac` = achieved fraction of the BINDING chip resource:
     max(MFU, achieved-HBM-BW / peak BW); `binding_resource` names which
     side binds. Sparse message passing is HBM-bound, so its honest
-    utilization number is the bandwidth side, not MFU. `bps` is the
-    fusion-boundary HBM estimate (utils/hbm.py — real traffic of the
-    fused program); `bps_opcount` is XLA's per-op sum (2-3x overcount,
-    kept for cross-round comparability)."""
+    utilization number is the bandwidth side, not MFU.
+
+    Three bytes estimates, most honest first:
+    `bps_scanbody` — fusion-boundary bytes of the scan WHILE BODY, the
+    true per-iteration traffic of the timed loop (XLA hoists
+    batch-derived invariants out of the body); drives `hbm_bw_frac`.
+    `bps` — boundary bytes of the single-step executable (includes the
+    invariant setup; overstates steady state 2-4x on one-hot-heavy
+    models). `bps_opcount` — XLA's per-op sum (counts inside fusions,
+    2-3x above even that; kept for cross-round comparability)."""
     mean_t = float(np.mean(times))
     std_t = float(np.std(times))
     ms = mean_t / n_iter * 1e3
     step_s = mean_t / n_iter
     mfu = round(fps / step_s / peak, 4) if fps and peak else None
-    bw_frac = round(bps / step_s / bw, 4) if bps and bw else None
+    bw_bytes = bps_scanbody if bps_scanbody else bps
+    bw_frac = round(bw_bytes / step_s / bw, 4) if bw_bytes and bw else None
     fields = {
         "value": round(real_edges * n_iter / mean_t, 1),
         "value_best": round(real_edges * n_iter / min(times), 1),
@@ -341,6 +357,7 @@ def perf_fields(times, n_iter, real_edges, fps, peak, bps=None, bw=None,
         "mfu": mfu,
         "bytes_per_step": bps,
         "bytes_per_step_opcount": bps_opcount,
+        "bytes_per_step_scanbody": bps_scanbody,
         "hbm_bw_frac": bw_frac,
     }
     if mfu is not None or bw_frac is not None:
@@ -377,10 +394,11 @@ def bench_model(name, graphs, spec, model, loss_fn, n_iter,
     state, loss = step(state, batch, jax.random.key(1))
     float(loss)
     fps, bps, bps_op = step_cost(step, state, batch, jax.random.key(1))
-    times, state, _ = scan_time(step, state, batch, jax.random.key(1),
-                                n_iter)
+    times, state, _, sb = scan_time(step, state, batch, jax.random.key(1),
+                                    n_iter)
     return perf_fields(times, n_iter, real_edges, fps, device_peak_flops(),
-                       bps, device_peak_bw(), bps_opcount=bps_op)
+                       bps, device_peak_bw(), bps_opcount=bps_op,
+                       bps_scanbody=sb)
 
 
 def run_secondary(gsets):
@@ -660,8 +678,8 @@ def main():
     fps, bps, bps_op = step_cost(step, state, batch, rng)
 
     n_iter = 20 if SMOKE else 400
-    times, state, scan_steps = scan_time(step, state, batch, rng, n_iter,
-                                         windows=5)
+    times, state, scan_steps, sb = scan_time(step, state, batch, rng,
+                                             n_iter, windows=5)
 
     # optional post-timing jax.profiler trace (tools/profile_step.py)
     profile_dir = os.environ.get("BENCH_PROFILE_DIR")
@@ -672,7 +690,7 @@ def main():
 
     fields = perf_fields(times, n_iter, real_edges, fps,
                          device_peak_flops(), bps, device_peak_bw(),
-                         bps_opcount=bps_op)
+                         bps_opcount=bps_op, bps_scanbody=sb)
     print(
         json.dumps(
             dict(

@@ -77,21 +77,40 @@ def shape_bytes(type_str: str) -> int:
     return total
 
 
-def _entry_block(hlo_text: str) -> str:
-    m = re.search(r"^ENTRY\s", hlo_text, re.M)
-    if m is None:
-        raise ValueError("no ENTRY computation in HLO text")
-    start = hlo_text.index("{", m.start())
+def _block_from(hlo_text: str, start: int, label: str) -> str:
+    bstart = hlo_text.index("{", start)
     depth = 0
-    for i in range(start, len(hlo_text)):
+    for i in range(bstart, len(hlo_text)):
         c = hlo_text[i]
         if c == "{":
             depth += 1
         elif c == "}":
             depth -= 1
             if depth == 0:
-                return hlo_text[m.start():i]
-    raise ValueError("unbalanced ENTRY computation block")
+                return hlo_text[start:i]
+    raise ValueError(f"unbalanced {label} computation block")
+
+
+def _entry_block(hlo_text: str) -> str:
+    m = re.search(r"^ENTRY\s", hlo_text, re.M)
+    if m is None:
+        raise ValueError("no ENTRY computation in HLO text")
+    return _block_from(hlo_text, m.start(), "ENTRY")
+
+
+def _named_block(hlo_text: str, substring: str) -> str:
+    """First top-level computation whose %name contains `substring`.
+
+    Computation headers look like `%name (params...) -> type {` at
+    column 0 (the ENTRY computation carries an `ENTRY ` prefix)."""
+    for m in re.finditer(r"^(?:ENTRY\s+)?%([\w.\-]+)\s+\(", hlo_text, re.M):
+        if substring in m.group(1):
+            return _block_from(hlo_text, m.start(), substring)
+    raise ValueError(f"no computation matching {substring!r}")
+
+
+def list_computations(hlo_text: str) -> list[str]:
+    return re.findall(r"^(?:ENTRY\s+)?%([\w.\-]+)\s+\(", hlo_text, re.M)
 
 
 def _split_type_opcode_args(rhs: str):
@@ -128,16 +147,26 @@ def _split_type_opcode_args(rhs: str):
     raise ValueError(f"unbalanced args for {opcode}: {rest[:80]}")
 
 
-def boundary_traffic(hlo_text: str) -> dict:
-    """Fusion-boundary HBM traffic of the ENTRY computation.
+def boundary_traffic(hlo_text: str, computation: Optional[str] = None) -> dict:
+    """Fusion-boundary HBM traffic of one computation (default: ENTRY).
+
+    `computation`: substring of a computation name — e.g. "while_body"
+    for the per-iteration body of a scanned train loop. A scan-timed
+    bench amortizes batch-derived loop invariants (one-hot operands,
+    z-emb expansions) OUT of the body, so the body's boundary bytes are
+    the honest per-iteration traffic of the timed loop; the single-step
+    executable's entry bytes include the invariant setup and overstate
+    the steady state (observed 2-4x on the flagship, BASELINE.md r04).
 
     Returns {"bytes": int, "reads": int, "writes": int,
     "per_instruction": [(name, opcode, read_bytes, write_bytes), ...]}
     sorted by total bytes descending.
     """
+    block = (_entry_block(hlo_text) if computation is None
+             else _named_block(hlo_text, computation))
     out_bytes: dict[str, int] = {}
     rows = []
-    for line in _entry_block(hlo_text).splitlines():
+    for line in block.splitlines():
         m = _INSTR_RE.match(line)
         if m is None:
             continue
@@ -165,9 +194,30 @@ def boundary_traffic(hlo_text: str) -> dict:
     }
 
 
-def compiled_boundary_bytes(compiled) -> Optional[int]:
+def compiled_boundary_bytes(compiled, computation: Optional[str] = None
+                            ) -> Optional[int]:
     """`boundary_traffic` of a jax `Compiled`, or None on any failure."""
     try:
-        return int(boundary_traffic(compiled.as_text())["bytes"])
+        return int(
+            boundary_traffic(compiled.as_text(), computation)["bytes"]
+        )
+    except Exception:
+        return None
+
+
+def scan_body_bytes(compiled) -> Optional[int]:
+    """Per-iteration boundary bytes of the outermost while-loop body in
+    a scanned executable — the steady-state traffic of a scan-timed
+    loop. The body computation's name comes from the entry `while` op's
+    `body=%name` attribute (jax lowers scan bodies as `region_*`, TPU
+    HLO often as `while_body*`). None if no while is found."""
+    try:
+        text = compiled.as_text()
+        m = re.search(r"\bwhile\(.*?body=%([\w.\-]+)", _entry_block(text))
+        if m is None:
+            m = re.search(r"\bbody=%([\w.\-]+)", text)
+        if m is None:
+            return None
+        return int(boundary_traffic(text, m.group(1))["bytes"])
     except Exception:
         return None

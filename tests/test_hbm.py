@@ -90,3 +90,41 @@ def test_compiled_boundary_below_per_op_sum():
 def test_no_entry_raises():
     with pytest.raises(ValueError):
         boundary_traffic("HloModule m\n")
+
+
+HLO_WHILE = HLO.replace(
+    "%fused_computation (p0: f32[8,4]) -> f32[8,4] {",
+    """%while_body.1 (p: f32[2,2]) -> f32[2,2] {
+  %p = f32[2,2]{1,0} parameter(0)
+  ROOT %e = f32[2,2]{1,0} exponential(%p)
+}
+
+%fused_computation (p0: f32[8,4]) -> f32[8,4] {""",
+)
+
+
+def test_named_computation_traffic():
+    t = boundary_traffic(HLO_WHILE, computation="while_body")
+    # exponential: reads p (16), writes 16
+    assert t["reads"] == 16 and t["writes"] == 16
+    with pytest.raises(ValueError):
+        boundary_traffic(HLO_WHILE, computation="no_such_comp")
+
+
+def test_scan_body_bytes_compiled():
+    from escgnn_tpu.utils.hbm import scan_body_bytes
+
+    def step(s, x):
+        return jnp.tanh(s @ x), jnp.sum(s)
+
+    def loop(s, x):
+        return jax.lax.scan(lambda c, _: (step(c, x)[0], 0.0), s,
+                            jnp.arange(8))
+
+    s = jnp.ones((64, 64), jnp.float32)
+    x = jnp.ones((64, 64), jnp.float32)
+    c = jax.jit(loop).lower(s, x).compile()
+    sb = scan_body_bytes(c)
+    assert sb is not None
+    # the body must at least read both 16 KB operands and write one
+    assert sb >= 3 * 64 * 64 * 4

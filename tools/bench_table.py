@@ -26,14 +26,14 @@ def main():
         if "metric" not in d:
             continue
         rows.append(d)
-    print("| model | edges/s | vs r02 | MFU | bytes/step (boundary) | "
+    print("| model | edges/s | vs r02 | MFU | body bytes/step | "
           "hbm_bw_frac | roofline_frac | binds | ms/step |")
     print("|---|---|---|---|---|---|---|---|---|")
     for d in rows:
         name = (d["metric"].replace("_trainstep", "")
                 .replace("_edges_per_s_per_chip", "")
                 .replace("_copyedges_per_s_per_chip", " (copy)"))
-        bps = d.get("bytes_per_step")
+        bps = d.get("bytes_per_step_scanbody") or d.get("bytes_per_step")
         print("| {} | {} | {} | {} | {} | {} | {} | {} | {} |".format(
             name,
             f"{d['value']/1e6:.2f} M",
