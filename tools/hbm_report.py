@@ -75,6 +75,18 @@ def build(model_name):
             use_esc=True, compute_dtype="bfloat16",
         ))
         return graphs, spec, model, l1_node_loss
+    elif model_name == "ogb":
+        from escgnn_tpu.models.ogb_gnn import OgbGNN, OgbGNNConfig
+        from escgnn_tpu.train.loop import bce_graph_loss
+
+        graphs = B.make_molhiv_like_graphs(num=32)
+        spec = BatchSpec.uniform(graphs, batch_size=len(graphs),
+                                 enc_layout="dedup")
+        model = OgbGNN(OgbGNNConfig(
+            num_tasks=1, num_layers=6, emb_dim=300, dropout=0.0,
+            virtual_node=True, compute_dtype="bfloat16",
+        ))
+        return graphs, spec, model, bce_graph_loss
     else:
         raise SystemExit(f"unknown model {model_name}")
     return graphs, spec, model, l1_graph_loss

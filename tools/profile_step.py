@@ -145,16 +145,20 @@ def run_and_profile(trace_dir: str, which: str = "flagship") -> None:
         model = PPGN(PPGNConfig(
             emb_dim=128, num_rb_layers=3,
             max_nodes=spec.max_nodes_per_graph, node_level=True,
-            use_esc=True,
+            use_esc=True, compute_dtype="bfloat16",  # parity with bench
         ))
         loss_fn = l1_node_loss
     else:
+        from escgnn_tpu.data.uniform_copies import uniformize_dataset
         from escgnn_tpu.models.i2gnn import I2GNN, I2GNNConfig
 
-        spec = BatchSpec.from_graphs(graphs, batch_size=len(graphs))
+        graphs = uniformize_dataset(graphs)
+        spec = BatchSpec.copy_uniform(graphs, batch_size=len(graphs),
+                                      exact=True)
         model = I2GNN(I2GNNConfig(
             num_layers=3, hidden=64, use_rd=True,
             subgraph2_pooling="mean-center-side", gate=True, out_dim=1,
+            compute_dtype="bfloat16",  # parity with bench r04
         ))
 
     batch = jax.tree.map(jnp.asarray, pad_and_batch(graphs, spec))
