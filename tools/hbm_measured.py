@@ -114,6 +114,12 @@ def body_bytes(model_name, n_iter):
     if m is None:
         raise SystemExit("no while body in scan executable")
     t = boundary_traffic(text, m.group(1))
+    names = {}
+    for mm in re.finditer(
+        r"%([\w.\-]+) = .*metadata=\{[^}]*op_name=\"([^\"]+)\"", text
+    ):
+        names.setdefault(mm.group(1), mm.group(2))
+    t["op_names"] = names
     return {name: rb + wb for name, _, rb, wb in t["per_instruction"]}, t
 
 
@@ -152,11 +158,13 @@ def main():
         dram_frac_of_step=round(
             dram_upper / PEAK_BW / max(total_dev_s / n_iter, 1e-12), 4),
     )))
+    op_names = traffic.get("op_names", {})
     for name, b, s, implied, dram in rows[:25]:
         print(json.dumps(dict(
             instr=name, bytes=b, us=round(s * 1e6, 1),
             implied_gbps=round(implied / 1e9, 1),
             vmem_fed=bool(implied > 1.1 * PEAK_BW),
+            op_name=op_names.get(name, "")[:160],
         )))
 
 
