@@ -41,16 +41,26 @@ import numpy as np
 # check finishes in minutes; real measurements use the full sizes.
 SMOKE = os.environ.get("BENCH_SMOKE") == "1"
 
-# Round-1 measured flagship throughput on this chip (BASELINE.md).
+# Round-1 measured flagship throughput on this chip (BASELINE.md) —
+# kept as the `vs_r01` continuity field on the flagship line.
 ROUND1_MEASURED_EDGES_PER_S = 8_950_718.0
 
-# Round-2 measured secondary-model throughputs on this chip
-# (BENCH_r02.json, 2026-08-21) — the denominators for their vs_baseline.
-ROUND2_MEASURED = {
-    "counting_ppgn_eff_trainstep_edges_per_s_per_chip": 731_671.3,
-    "zinc_gps_trainstep_edges_per_s_per_chip": 868_160.9,
-    "molhiv_ogbgnn_trainstep_edges_per_s_per_chip": 580_413.8,
-    "zinc_i2gnn_trainstep_copyedges_per_s_per_chip": 4_379_168.9,
+# Round-4 measured throughputs on this chip — the `vs_baseline`
+# denominators for EVERY line (results_archive/bench_r4b/, bench_r4c
+# re-run 2026-08-21), so regressions on any metric are visible next
+# round (VERDICT r04 weak #5: six of ten r04 lines had null
+# vs_baseline because the denominators stopped at round 2).
+ROUND4_MEASURED = {
+    "counting_ppgn_eff_trainstep_edges_per_s_per_chip": 934_223.5,
+    "zinc_gps_trainstep_edges_per_s_per_chip": 2_362_704.6,
+    "molhiv_ogbgnn_trainstep_edges_per_s_per_chip": 1_861_909.8,
+    "zinc_i2gnn_trainstep_copyedges_per_s_per_chip": 7_939_830.5,
+    "zinc_ngnn_trainstep_copyedges_per_s_per_chip": 5_749_973.4,
+    "zinc_nestedppgn_trainstep_copyedges_per_s_per_chip": 409_750.3,
+    "molhiv_gineplus_trainstep_edges_per_s_per_chip": 2_064_734.8,
+    "qm9_k123gnn_trainstep_copyedges_per_s_per_chip": 665_633.9,
+    "pepstruct_gps_trainstep_edges_per_s_per_chip": 566_082.0,
+    "zinc_nestedgin_eff_trainstep_edges_per_s_per_chip": 8_798_318.3,
 }
 
 # Peak dense bf16 FLOP/s per chip, by jax device_kind. v5e: 197 TFLOP/s
@@ -344,6 +354,13 @@ def perf_fields(times, n_iter, real_edges, fps, peak, bps=None, bw=None,
     mfu = round(fps / step_s / peak, 4) if fps and peak else None
     bw_bytes = bps_scanbody if bps_scanbody else bps
     bw_frac = round(bw_bytes / step_s / bw, 4) if bw_bytes and bw else None
+    # name the denominator explicitly: when scan_body_bytes fails
+    # (e.g. a future XLA text-format change), the fallback single-step
+    # entry bytes overstate steady state 2-4x on one-hot-heavy models —
+    # cross-round tables must not mix the two sources unnoticed
+    bw_frac_source = (
+        "scanbody" if bps_scanbody else ("entry" if bps else None)
+    )
     fields = {
         "value": round(real_edges * n_iter / mean_t, 1),
         "value_best": round(real_edges * n_iter / min(times), 1),
@@ -359,6 +376,7 @@ def perf_fields(times, n_iter, real_edges, fps, peak, bps=None, bw=None,
         "bytes_per_step_opcount": bps_opcount,
         "bytes_per_step_scanbody": bps_scanbody,
         "hbm_bw_frac": bw_frac,
+        "bw_frac_source": bw_frac_source,
     }
     if mfu is not None or bw_frac is not None:
         m, b = mfu or 0.0, bw_frac or 0.0
@@ -586,7 +604,7 @@ def run_secondary(gsets):
     ))
 
     for line in lines:
-        base = ROUND2_MEASURED.get(line["metric"])
+        base = ROUND4_MEASURED.get(line["metric"])
         line["vs_baseline"] = (
             round(line["value"] / base, 3) if base else None
         )
@@ -698,6 +716,11 @@ def main():
                 unit="edges/s",
                 **fields,
                 vs_baseline=round(
+                    fields["value"] / ROUND4_MEASURED[
+                        "zinc_nestedgin_eff_trainstep_edges_per_s_per_chip"
+                    ], 3
+                ),
+                vs_r01=round(
                     fields["value"] / ROUND1_MEASURED_EDGES_PER_S, 3
                 ),
             )

@@ -150,14 +150,28 @@ def synthetic_ogb_mol(
     seed: int = 0,
     num_tasks: int = 1,
     nan_frac: float = 0.0,
+    label_kind: str = "parity",
 ) -> list[GraphData]:
     """ogbg-mol*-shaped graphs: x (n, 9) int atom features within the OGB
     vocab bounds, edge_attr (E, 3) int bond features, y (num_tasks,)
     float32 in {0, 1} with a `nan_frac` fraction of NaN holes (the
     unlabeled entries run_ogb_mol masks out of the BCE,
-    reference `run_ogb_mol.py:65-72`)."""
+    reference `run_ogb_mol.py:65-72`).
+
+    `label_kind` selects the stand-in label function:
+      * "parity" (default, the historical stand-in): a node-feature /
+        triangle parity — measured near-unlearnable for GNNs at this
+        scale (it requires exact parity over ~20 nodes), so rows
+        trained on it evidence "the path trains", not "the model
+        learns".
+      * "tri": triangle count above the dataset median — squarely
+        inside the ESC encoding's provable counting power
+        (arXiv:2303.10576), so a capable model should reach high
+        ROC-AUC and a broken one won't.  Used for the round-5
+        learns-to-quality rows of the molhiv-shaped zoo."""
     rng = np.random.default_rng(seed)
     out = []
+    tris = []
     for _ in range(num_graphs):
         n = int(rng.integers(12, 28))
         ei = _molecule_skeleton(rng, n)
@@ -180,6 +194,16 @@ def synthetic_ogb_mol(
                 num_nodes=n, edge_index=ei, x=x, edge_attr=ea, y=y,
             )
         )
+        tris.append(tri)
+    if label_kind == "tri":
+        med = float(np.median(tris))
+        for g, tri in zip(out, tris):
+            lab = float(tri > med)
+            keep_nan = np.isnan(g.y)
+            g.y[:] = lab
+            g.y[keep_nan] = np.nan
+    elif label_kind != "parity":
+        raise ValueError(f"unknown label_kind {label_kind!r}")
     return out
 
 
@@ -372,6 +396,7 @@ def ogb_mol_splits(
     seed: int = 0,
     num_tasks: int = 1,
     nan_frac: float = 0.0,
+    label_kind: str = "parity",
 ) -> tuple[dict, bool]:
     """Real OGB molecule splits when `<data_dir>/<dataset>/raw` exists
     (the package's extracted layout, underscores for dashes); otherwise
@@ -400,7 +425,7 @@ def ogb_mol_splits(
             return splits, True
     raw = synthetic_ogb_mol(
         num_graphs=num_graphs, seed=seed, num_tasks=num_tasks,
-        nan_frac=nan_frac,
+        nan_frac=nan_frac, label_kind=label_kind,
     )
     n_tr, n_val = int(0.8 * len(raw)), int(0.1 * len(raw))
     return {

@@ -51,8 +51,18 @@ def save_graphs(path: str, graphs: Sequence[GraphData]) -> None:
     # atomic publish: concurrent readers (e.g. a queued TPU run racing a
     # CPU-side cache-prep process) must never observe a torn .npz
     tmp = f"{path}.tmp.{os.getpid()}.npz"  # .npz suffix: savez appends it otherwise
-    np.savez_compressed(tmp, **out)
-    os.replace(tmp, path)
+    try:
+        np.savez_compressed(tmp, **out)
+        os.replace(tmp, path)
+    finally:
+        # a crash between savez and replace must not leak the tmp file
+        # (repeated crashes of a 160k-graph prep job would accumulate
+        # multi-GB orphans in the cache dir)
+        if os.path.exists(tmp):
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
 
 
 def load_graphs(path: str) -> list[GraphData]:
@@ -123,6 +133,19 @@ def cached_featurize(
     path = os.path.join(cache_dir, f"{name}.v{_FORMAT_VERSION}.npz")
     if os.path.exists(path) and not force:
         return load_graphs(path)
+    # sweep tmp orphans from SIGKILLed writers (try/finally in
+    # save_graphs cannot run when the process dies mid-savez); only
+    # files idle > 1 h, so a LIVE concurrent writer's tmp is never
+    # deleted out from under its os.replace
+    import glob
+    import time
+
+    for stale in glob.glob(f"{path}.tmp.*.npz"):
+        try:
+            if time.time() - os.path.getmtime(stale) > 3600:
+                os.unlink(stale)
+        except OSError:
+            pass
     graphs = build_fn()
     save_graphs(path, graphs)
     return graphs

@@ -21,10 +21,13 @@ with zero charge for the no-traffic opcodes (`parameter`, `constant`,
 still pay the read. This stays an ESTIMATE: in-place updates
 (dynamic-update-slice) are charged a full read+write of the buffer, and
 values XLA keeps resident across consumers are charged per consumer.
-Both make the estimate an UPPER bound on traffic per boundary value,
-so `boundary_bytes / (step_time * peak_bw)` is a sound utilization
-claim in a roofline argument (unlike the per-op sum, it cannot exceed
-1.0 by construction of the machine).
+Both make the estimate an UPPER bound on traffic per boundary value:
+it is far closer to real traffic than the per-op sum, but a boundary
+value XLA keeps resident in VMEM still gets charged, so
+`boundary_bytes / (step_time * peak_bw)` can exceed 1.0 — when it
+does, that is PROOF of VMEM residency rather than an impossibility
+(quantify with `tools/hbm_measured.py`, which joins per-fusion trace
+durations with these bytes).
 
 Role: the round-3 judge asked for bytes/step + roofline_frac on every
 bench line (VERDICT r03 #2); the per-op numbers made those fields
@@ -98,15 +101,28 @@ def _entry_block(hlo_text: str) -> str:
     return _block_from(hlo_text, m.start(), "ENTRY")
 
 
-def _named_block(hlo_text: str, substring: str) -> str:
-    """First top-level computation whose %name contains `substring`.
+def _named_block(hlo_text: str, name: str) -> str:
+    """Top-level computation `%name` — exact name match preferred; a
+    substring match is accepted only when it is UNIQUE (a name that is
+    a prefix of another computation's name must not silently select
+    the wrong block).
 
     Computation headers look like `%name (params...) -> type {` at
     column 0 (the ENTRY computation carries an `ENTRY ` prefix)."""
+    matches = []
     for m in re.finditer(r"^(?:ENTRY\s+)?%([\w.\-]+)\s+\(", hlo_text, re.M):
-        if substring in m.group(1):
-            return _block_from(hlo_text, m.start(), substring)
-    raise ValueError(f"no computation matching {substring!r}")
+        if m.group(1) == name:
+            return _block_from(hlo_text, m.start(), name)
+        if name in m.group(1):
+            matches.append(m)
+    if len(matches) == 1:
+        return _block_from(hlo_text, matches[0].start(), name)
+    if matches:
+        raise ValueError(
+            f"ambiguous computation substring {name!r}: "
+            f"{[m.group(1) for m in matches]}"
+        )
+    raise ValueError(f"no computation matching {name!r}")
 
 
 def list_computations(hlo_text: str) -> list[str]:
@@ -115,7 +131,13 @@ def list_computations(hlo_text: str) -> list[str]:
 
 def _split_type_opcode_args(rhs: str):
     """'f32[2]{0} fusion(%a, %b), kind=...' -> (type, opcode, argstr)."""
-    rhs = _BRACES_RE.sub("", rhs)  # strip layouts/metadata braces
+    # strip layouts/metadata braces to a fixpoint: a single pass leaves
+    # the OUTER level of nested braces (e.g. backend_config=
+    # {"fusion_config":{...}} on TPU fusion instructions) in the string,
+    # where leftover parens/percent tokens would skew opcode/operand
+    # parsing
+    while _BRACES_RE.search(rhs):
+        rhs = _BRACES_RE.sub("", rhs)
     if rhs.startswith("("):  # tuple type: find its matching paren
         depth = 0
         for i, c in enumerate(rhs):
@@ -166,6 +188,7 @@ def boundary_traffic(hlo_text: str, computation: Optional[str] = None) -> dict:
              else _named_block(hlo_text, computation))
     out_bytes: dict[str, int] = {}
     rows = []
+    skipped = 0
     for line in block.splitlines():
         m = _INSTR_RE.match(line)
         if m is None:
@@ -174,6 +197,10 @@ def boundary_traffic(hlo_text: str, computation: Optional[str] = None) -> dict:
         try:
             type_str, opcode, argstr = _split_type_opcode_args(rhs)
         except ValueError:
+            # make parser failures visible instead of silently
+            # undercounting (they would drop exactly the longest, i.e.
+            # biggest-byte-moving, instruction lines)
+            skipped += 1
             continue
         wb = shape_bytes(type_str)
         out_bytes[name] = wb
@@ -190,6 +217,7 @@ def boundary_traffic(hlo_text: str, computation: Optional[str] = None) -> dict:
         "bytes": reads + writes,
         "reads": reads,
         "writes": writes,
+        "skipped_instructions": skipped,
         "per_instruction": rows,
     }
 
@@ -215,8 +243,11 @@ def scan_body_bytes(compiled) -> Optional[int]:
         text = compiled.as_text()
         m = re.search(r"\bwhile\(.*?body=%([\w.\-]+)", _entry_block(text))
         if m is None:
-            m = re.search(r"\bbody=%([\w.\-]+)", text)
-        if m is None:
+            # no whole-text fallback: a module-wide `body=%...` search
+            # could bind to a NESTED while's body and return bytes for
+            # the wrong computation with no indication — better to
+            # report "no scan body" and let the caller fall back to
+            # entry bytes with an explicit bw_frac_source field
             return None
         return int(boundary_traffic(text, m.group(1))["bytes"])
     except Exception:

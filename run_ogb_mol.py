@@ -86,6 +86,14 @@ def main():
                    help="after training, dump the K worst-loss test "
                         "graphs to worst.json (reference's loss-sorted "
                         "visualization, run_ogb_mol.py:153-192)")
+    p.add_argument("--synth_label", default="parity",
+                   choices=["parity", "tri"],
+                   help="synthetic stand-in label function when no real "
+                        "OGB raw dir exists (data/molecules.py "
+                        "synthetic_ogb_mol): 'tri' = triangle count "
+                        "above the dataset median, a target inside the "
+                        "ESC encoding's provable counting power — use "
+                        "it for learns-to-quality rows")
     p.add_argument("--metric", default="rocauc", choices=["rocauc", "ap"])
     p.add_argument("--data_dir", default="data")
     p.add_argument("--res_dir", default=None)
@@ -124,11 +132,14 @@ def main():
         raw_splits, is_real = ogb_mol_splits(
             args.data_dir, args.dataset, num_graphs=args.num_graphs,
             seed=args.seed, num_tasks=args.num_tasks,
+            label_kind=args.synth_label,
         )
         print(f"{args.dataset}: "
               f"{'real raw dir' if is_real else 'synthetic'} "
               f"({sum(len(s) for s in raw_splits.values())} graphs)")
     rp_key = f"_rp{args.use_rp}" if args.use_rp else ""
+    if args.synth_label != "parity":
+        rp_key += f"_lab{args.synth_label}"
 
     def featurize_split(graphs):
         if args.model == "GINEPlus":
