@@ -91,14 +91,18 @@ DEFAULTS = {
         # qm9-synthetic | mnist | cifar10 (superpixels) | aqsol |
         # vocsuperpixels | cocosuperpixels (LRGB node classification) |
         # peptides-func | peptides-struct (LRGB) |
-        # ogbg-molhiv | ogbg-molpcba | ogbg-ppa | ogbg-code2 | malnet-tiny
+        # ogbg-molhiv | ogbg-molpcba | ogbg-ppa | ogbg-code2 | malnet-tiny |
+        # pcqm4mv2-{subset,full,inference} (OGB-LSC graph regression) |
+        # pcqm4mv2contact-{shuffle,num-atoms} (inductive link prediction,
+        # task: link) | wikipedia-{chameleon,squirrel}
         # (run_gps.build_dataset — the master_loader zoo)
         "name": "zinc-synthetic",
         "dir": "data",
         "num_graphs": 512,  # synthetic fallback size
         # regression | classification | multilabel |
         # node_classification (VOC/COCO, macro-F1) |
-        # sequence (code2 sub-token heads, F1)
+        # sequence (code2 sub-token heads, F1) |
+        # link (inductive edge prediction, MRR + hits@k)
         "task": "regression",
         "target": 0,  # y column for counting / qm9
         "node_encoder": "embed",

@@ -43,6 +43,7 @@ _STRUCTURAL_KEYS = frozenset({
     "attn_bias", "orig_adj",
     "assign_2to3", "num_assign_2to3",
     "node_valid", "edge_valid",  # copy-uniform masks, folded in directly
+    "pair_index", "pair_label",  # labeled link-prediction pairs
 })
 _KSET_KEYS = ("iso", "edge_index", "assign", "to_subgraph")
 
@@ -101,6 +102,10 @@ class BatchSpec:
     num_kset3_edges: int = 0
     num_kset3_assign: int = 0
     num_assign_2to3: int = 0
+    # labeled link-prediction pairs (inductive-edge task — the
+    # reference's edge_index_labeled/edge_label,
+    # GraphGPS/graphgps/head/inductive_edge.py:47)
+    num_pairs: int = 0
     # uniform layout: every graph gets an identical (nodes, edges) block —
     # node id g*uniform_nodes + i, edge id g*uniform_edges + k (enables
     # the per-graph dense-einsum message-passing path)
@@ -278,6 +283,8 @@ def _graph_stats(g: GraphData) -> dict:
         "original": int(ex.get("num_original_nodes", 0)),
         "segments_per_graph": int(ex.get("num_subgraphs", 0)),
         "a23": int(ex.get("num_assign_2to3", 0)),
+        "pairs": int(np.asarray(ex["pair_index"]).shape[1])
+        if "pair_index" in ex else 0,
     }
     if g.enc_offsets is not None:
         nnz = np.diff(np.asarray(g.enc_offsets))
@@ -402,6 +409,8 @@ def _budgets_from(m: dict, scale: int, enc_layout: str) -> dict:
         max_nodes_per_graph=m["nodes"],
         max_segments_per_graph=m["segments_per_graph"],
         num_assign_2to3=_round_up(scale * m["a23"], 16) if m["a23"] else 0,
+        num_pairs=_round_up(scale * m["pairs"], 16)
+        if m.get("pairs") else 0,
     )
     kw["num_enc_rows"] = 0
     if m["enc_w"]:
@@ -626,6 +635,34 @@ def pad_and_batch(graphs: Sequence[GraphData], spec: BatchSpec) -> GraphBatch:
         om[:sum(o_sizes)] = True
         fields["node_original"] = node_original
         fields["original_mask"] = om
+
+    # --- labeled link-prediction pairs (inductive-edge task) ---
+    if "pair_index" in ex0 and spec.num_pairs > 0:
+        p_sizes = [int(np.asarray(g.extras["pair_index"]).shape[1])
+                   for g in graphs]
+        assert sum(p_sizes) <= spec.num_pairs, (sum(p_sizes), spec.num_pairs)
+        P = spec.num_pairs
+        # padding pairs park on the padding node slot; pair_mask drops
+        # them from the loss and from ranking metrics
+        pair_index = np.full((2, P), N - 1, np.int32)
+        pair_label = np.zeros(P, np.float32)
+        pair_graph = np.full(P, NG - 1, np.int32)
+        pair_mask = np.zeros(P, bool)
+        p_off = np.concatenate([[0], np.cumsum(p_sizes)])
+        for i, g in enumerate(graphs):
+            ps, pe = p_off[i], p_off[i + 1]
+            pair_index[:, ps:pe] = (
+                np.asarray(g.extras["pair_index"]) + node_off[i]
+            )
+            pair_label[ps:pe] = np.asarray(
+                g.extras["pair_label"], np.float32
+            )
+            pair_graph[ps:pe] = i
+            pair_mask[ps:pe] = True
+        extras_out.update(
+            pair_index=pair_index, pair_label=pair_label,
+            pair_graph=pair_graph, pair_mask=pair_mask,
+        )
 
     # --- k-set graphs + extras ---
     extras_out.update(_batch_ksets(graphs, node_off, spec, fields))

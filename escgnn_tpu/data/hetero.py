@@ -1,7 +1,9 @@
-"""WebKB (Cornell/Texas/Wisconsin) and Actor heterophilous node-
-classification graphs — the generic-PyG rows of the reference's GPS
-master_loader (`GraphGPS/graphgps/loader/master_loader.py:132-186`:
-`Actor(dataset_dir)`, `WebKB(dataset_dir, name)`).
+"""WebKB (Cornell/Texas/Wisconsin), Actor, and WikipediaNetwork
+(chameleon/squirrel) heterophilous node-classification graphs — the
+generic-PyG rows of the reference's GPS master_loader
+(`GraphGPS/graphgps/loader/master_loader.py:132-190`:
+`Actor(dataset_dir)`, `WebKB(dataset_dir, name)`,
+`WikipediaNetwork(dataset_dir, name)`).
 
 Real-if-present: both PyG dataset classes download the same raw text
 schema, which is parsed here directly —
@@ -28,7 +30,13 @@ import numpy as np
 from escgnn_tpu.data.container import GraphData
 
 WEBKB_NAMES = ("cornell", "texas", "wisconsin")
+WIKI_NAMES = ("chameleon", "squirrel")
 ACTOR_FEAT_DIM = 932
+# sparse-row (one-hot index) feature widths by dataset — Actor and the
+# geom-gcn-preprocessed WikipediaNetwork dumps both use index lists in
+# out1_node_feature_label.txt; WebKB ships full 0/1 vectors
+SPARSE_FEAT_DIMS = {"actor": ACTOR_FEAT_DIM,
+                    "chameleon": 2325, "squirrel": 2089}
 
 
 def load_hetero_raw(root: str, name: str) -> GraphData:
@@ -45,7 +53,9 @@ def load_hetero_raw(root: str, name: str) -> GraphData:
         labels.append(int(lab))
     n = max(ids) + 1
     sparse = any(max(f, default=0) > 1 for f in feats)
-    dim = ACTOR_FEAT_DIM if sparse else len(feats[0])
+    dim = SPARSE_FEAT_DIMS.get(
+        name, max((max(f, default=0) for f in feats), default=0) + 1
+    ) if sparse else len(feats[0])
     x = np.zeros((n, dim), np.float32)
     y = np.zeros(n, np.int64)
     for nid, f, lab in zip(ids, feats, labels):
@@ -94,8 +104,9 @@ def synthetic_hetero(
 def get_hetero_graph(
     name: str, root: str = "data/hetero"
 ) -> tuple[GraphData, bool]:
-    """(graph, is_real). `name`: cornell | texas | wisconsin | actor."""
-    assert name in WEBKB_NAMES + ("actor",), name
+    """(graph, is_real). `name`: cornell | texas | wisconsin | actor |
+    chameleon | squirrel."""
+    assert name in WEBKB_NAMES + ("actor",) + WIKI_NAMES, name
     try:
         return load_hetero_raw(root, name), True
     except (FileNotFoundError, OSError):

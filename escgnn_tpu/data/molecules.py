@@ -389,6 +389,69 @@ def load_ogb_graph_dir(root: str) -> dict:
     return out
 
 
+def synthetic_pcqm4mv2(
+    num_graphs: int = 2000, seed: int = 0
+) -> list[GraphData]:
+    """PCQM4Mv2-shaped graphs (OGB-LSC HOMO-LUMO gap regression,
+    reference `master_loader.py:441-525`): OGB atom/bond int features,
+    scalar float y. The synthetic target is a smooth structural
+    function (triangle count + size + mean degree), so a working
+    regression pipeline must drive MAE well below the label std."""
+    rng = np.random.default_rng(seed)
+    out = []
+    for _ in range(num_graphs):
+        n = int(rng.integers(12, 28))
+        ei = _molecule_skeleton(rng, n)
+        x = np.stack(
+            [rng.integers(0, min(d, 16), n) for d in _ATOM_DIMS], axis=1
+        ).astype(np.int32)
+        ea = np.stack(
+            [rng.integers(0, d, ei.shape[1]) for d in _BOND_DIMS], axis=1
+        ).astype(np.int32)
+        tri = _num_triangles(n, ei)
+        y = np.asarray(
+            [0.15 * tri + 0.05 * n + 0.2 * ei.shape[1] / n], np.float32
+        )
+        out.append(GraphData(
+            num_nodes=n, edge_index=ei, x=x, edge_attr=ea, y=y,
+        ))
+    return out
+
+
+def pcqm4mv2_splits(
+    data_dir: str,
+    subset: str = "subset",
+    num_graphs: int = 2000,
+    seed: int = 0,
+) -> tuple[dict, bool]:
+    """PCQM4Mv2 splits (reference `preformat_OGB_PCQM4Mv2`,
+    master_loader.py:441-525). Real-if-present: an extracted
+    `<data_dir>/pcqm4mv2/raw` graph dir in the OGB csv layout loads via
+    `load_ogb_graph_dir`; otherwise `synthetic_pcqm4mv2`.
+
+    `subset`: 'subset' trains on 10% of the train split (the
+    reference's debugging subset), 'full' on all of it; 'inference'
+    mirrors the LSC challenge layout — labeled original-valid as
+    "train", unlabeled (NaN-y) test-dev / test-challenge as val/test."""
+    import os
+
+    assert subset in ("subset", "full", "inference"), subset
+    for cand in (os.path.join(data_dir, "pcqm4mv2"),):
+        if os.path.isdir(os.path.join(cand, "raw")):
+            return load_ogb_graph_dir(cand), True
+    raw = synthetic_pcqm4mv2(num_graphs=num_graphs, seed=seed)
+    n_tr, n_val = int(0.8 * len(raw)), int(0.1 * len(raw))
+    train, val, test = (
+        raw[:n_tr], raw[n_tr:n_tr + n_val], raw[n_tr + n_val:]
+    )
+    if subset == "subset":
+        train = train[: max(1, len(train) // 10)]
+    elif subset == "inference":
+        for g in val + test:
+            g.y = np.full_like(g.y, np.nan)
+    return {"train": train, "val": val, "test": test}, False
+
+
 def ogb_mol_splits(
     data_dir: str,
     dataset: str,

@@ -103,6 +103,14 @@ class GPSConfig:
     graph_pred: bool = True
     pool: str = "add"
     out_dim: int = 1
+    # prediction head: "default" = pooled/node MLP head;
+    # "inductive_edge" = the link-prediction head (reference
+    # GraphGPS/graphgps/head/inductive_edge.py:20-56, dot decoding):
+    # a post-MP MLP on NODE states, returned as (N, dim_h) embeddings —
+    # pair scoring (dot product on pair_index gathers) lives in the
+    # link loss / MRR metrics so the same forward serves training
+    # (sampled pairs) and ranking eval (all-pairs X @ X^T per graph)
+    head: str = "default"
 
 
 def _bigbird_mask(m: int, window: int, num_global: int, num_random: int):
@@ -869,6 +877,11 @@ class GPSModel(nn.Module):
                 use_running_average=use_running_average,
             )
 
+        if cfg.head == "inductive_edge":
+            # dot-decoding link head: post-MP MLP keeps dim_h so node
+            # embeddings can be dot-scored pairwise
+            g = nn.relu(TorchDense(D, name="head1")(h))
+            return TorchDense(D, name="head2")(g)
         if cfg.graph_pred:
             from escgnn_tpu.ops.segment import pool_nodes_to_graphs
 

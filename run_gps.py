@@ -200,6 +200,43 @@ def build_dataset(cfg, seed: int):
         )
         print(f"{d.name}: real={is_real}")
         raw_splits = node_split_copies(g, seed=seed)
+    elif d.name.startswith("pcqm4mv2contact"):
+        # inductive link prediction (molecular contact maps; reference
+        # master_loader.py:236-237,527-557) — graphs carry labeled
+        # pair_index/pair_label extras, task must be "link"
+        from escgnn_tpu.data.contact import contact_splits
+
+        split = d.name.split("-", 1)[1] if "-" in d.name else "shuffle"
+        raw_splits, is_real = contact_splits(
+            d.dir, split=split, num_graphs=d.num_graphs, seed=seed
+        )
+        print(f"{d.name}: real={is_real}")
+    elif d.name.startswith("pcqm4mv2-"):
+        # graph-level PCQM4Mv2 (OGB-LSC HOMO-LUMO gap regression;
+        # reference master_loader.py:216-218,441-525). subset/full
+        # differ in split sizing; 'inference' mimics the unlabeled
+        # test-dev/test-challenge splits with NaN labels
+        from escgnn_tpu.data.molecules import pcqm4mv2_splits
+
+        raw_splits, is_real = pcqm4mv2_splits(
+            d.dir, d.name.split("-", 1)[1],
+            num_graphs=d.num_graphs, seed=seed,
+        )
+        print(f"{d.name}: real={is_real}")
+    elif d.name.startswith("wikipedia-"):
+        # WikipediaNetwork chameleon/squirrel heterophilous rows
+        # (reference master_loader.py:185-190) — same geom-gcn raw
+        # schema as WebKB, parsed by data/hetero.py
+        from escgnn_tpu.data.hetero import (
+            get_hetero_graph,
+            node_split_copies,
+        )
+
+        g, is_real = get_hetero_graph(
+            d.name.split("-", 1)[1], root=os.path.join(d.dir, "hetero")
+        )
+        print(f"{d.name}: real={is_real}")
+        raw_splits = node_split_copies(g, seed=seed)
     elif d.name.startswith("tu-"):
         # TUDataset graph classification inside GPS (reference
         # preformat_TUDataset, master_loader.py:179-180,595-606 —
@@ -245,8 +282,9 @@ def build_dataset(cfg, seed: int):
         splits, mean, std = normalize_targets(splits, d.target)
         return splits, mean, std
     if d.task in ("classification", "multilabel", "node_classification",
-                  "sequence"):
-        # class labels / binary labels / token ids are never standardized
+                  "sequence", "link"):
+        # class labels / binary labels / token ids / link labels are
+        # never standardized
         return splits, 0.0, 1.0
     if d.name == "qm9-synthetic":
         width = len(splits["train"][0].y)
@@ -277,7 +315,9 @@ def build_dataset(cfg, seed: int):
                     np.float32
                 )
         return splits, float(mu.mean()), 1.0
-    mean, std = float(ys.mean()), float(ys.std(ddof=1))
+    # nan-aware: pcqm4mv2-inference carries unlabeled (NaN-y) splits
+    # (reference master_loader.py:502-525); labeled rows set the scale
+    mean, std = float(np.nanmean(ys)), float(np.nanstd(ys, ddof=1))
     for s in splits.values():
         for g in s:
             g.y = ((g.y - mean) / std).astype(np.float32)
@@ -328,6 +368,7 @@ def _gps_config(cfg, splits) -> GPSConfig:
         node_vocab=m.node_vocab, edge_vocab=m.edge_vocab,
         node_encoder_kind=cfg.dataset.node_encoder,
         edge_encoder_kind=cfg.dataset.edge_encoder,
+        head="inductive_edge" if cfg.dataset.task == "link" else "default",
         **kw,
     )
 
@@ -428,6 +469,10 @@ def run_one(cfg, seed: int, out_dir: str) -> dict:
         from escgnn_tpu.train.loop import ce_node_loss
 
         loss_fn = ce_node_loss
+    elif task == "link":
+        from escgnn_tpu.train.metrics import link_pair_loss
+
+        loss_fn = link_pair_loss
     elif task == "sequence":
         from escgnn_tpu.data.code2 import MAX_SEQ_LEN, NUM_VOCAB
         from escgnn_tpu.train.loop import make_sequence_ce_loss
@@ -463,16 +508,65 @@ def run_one(cfg, seed: int, out_dir: str) -> dict:
     # (molhiv); node_classification: macro-F1 (the LRGB VOC/COCO
     # metric); sequence: sub-token F1 (OGB code2) — all higher-is-better
     higher_better = task in ("classification", "multilabel",
-                             "node_classification", "sequence")
+                             "node_classification", "sequence", "link")
     use_auc = task == "multilabel" and cfg.metric == "auc"
     metric_name = {
         "classification": "acc",
         "multilabel": "AUC" if use_auc else "AP",
         "node_classification": "F1",
         "sequence": "F1",
+        "link": "MRR",
     }.get(task, "MAE")
 
-    def evaluate_stack(stacked):
+    link_stats_by_split = {}
+    if task == "link":
+        # full-ranking eval (reference compute_mrr,
+        # head/inductive_edge.py:62-113): one scan dispatch returns
+        # per-graph dense X @ X^T score matrices; the ranking itself is
+        # host-side numpy over the raw graphs' positive pairs
+        M = spec.max_nodes_per_graph
+
+        @jax.jit
+        def link_scores_pool(params, batch_stats, stacked):
+            def body(_, batch):
+                emb = model.apply(
+                    {"params": params, "batch_stats": batch_stats},
+                    batch, deterministic=True, use_running_average=True,
+                )
+                G = batch.graph_mask.shape[0]
+                dense = jnp.zeros((G, M, emb.shape[-1]), emb.dtype)
+                dense = dense.at[batch.node_graph, batch.node_local].set(
+                    jnp.where(batch.node_mask[:, None], emb, 0.0)
+                )
+                return None, jnp.einsum("gmd,gnd->gmn", dense, dense)
+
+            _, s = jax.lax.scan(body, None, stacked)
+            return s
+
+        def link_eval(stacked, graphs, split_name):
+            from escgnn_tpu.train.metrics import graph_link_mrr
+
+            scores = np.asarray(link_scores_pool(
+                state.params, state.batch_stats, stacked
+            ))
+            NGs = spec.num_graphs
+            agg: dict = {}
+            for j, g in enumerate(graphs):
+                st = graph_link_mrr(
+                    scores[j // NGs, j % NGs],
+                    np.asarray(g.extras["pair_index"]),
+                    np.asarray(g.extras["pair_label"]),
+                    g.num_nodes,
+                )
+                for k, v in st.items():
+                    agg.setdefault(k, []).append(v)
+            stats = {k: float(np.mean(v)) for k, v in agg.items()}
+            link_stats_by_split[split_name] = stats
+            return stats.get("mrr", 0.0)
+
+    def evaluate_stack(stacked, graphs=None, split_name=None):
+        if task == "link":
+            return link_eval(stacked, graphs, split_name)
         if task == "regression":
             e, c = eval_pool(state.params, state.batch_stats, stacked)
             return float(e) / max(float(c), 1.0)
@@ -524,6 +618,7 @@ def run_one(cfg, seed: int, out_dir: str) -> dict:
     sign = -1.0 if higher_better else 1.0
     best_val = float("inf")
     best_test, best_epoch = float("nan"), -1
+    best_link_stats: dict = {}
     t0 = time.time()
     for epoch in range(start_epoch, cfg.train.epochs + 1):
         order = jnp.asarray(
@@ -540,11 +635,15 @@ def run_one(cfg, seed: int, out_dir: str) -> dict:
                     state.batch_stats, state.params, refresh_stack
                 )
             )
-            val = evaluate_stack(val_stack)
-            test = evaluate_stack(test_stack)
+            val = evaluate_stack(val_stack, splits["val"], "val")
+            test = evaluate_stack(test_stack, splits["test"], "test")
             if sign * val < best_val:
                 best_val = sign * val
                 best_test, best_epoch = test, epoch
+                if task == "link":
+                    best_link_stats = dict(
+                        link_stats_by_split.get("test", {})
+                    )
                 if cfg.train.ckpt_best:
                     ckpt.save(int(state.step), state, force=True)
             if cfg.optim.scheduler == "plateau":
@@ -568,15 +667,27 @@ def run_one(cfg, seed: int, out_dir: str) -> dict:
                 state.batch_stats, state.params, refresh_stack
             )
         )
-        best_val = sign * evaluate_stack(val_stack)
-        best_test, best_epoch = evaluate_stack(test_stack), cfg.train.epochs
+        best_val = sign * evaluate_stack(val_stack, splits["val"], "val")
+        best_test, best_epoch = (
+            evaluate_stack(test_stack, splits["test"], "test"),
+            cfg.train.epochs,
+        )
+        if task == "link":
+            best_link_stats = dict(link_stats_by_split.get("test", {}))
     key = metric_name.lower()
-    return {
+    out = {
         f"best_val_{key}": sign * best_val * std,
         f"best_test_{key}": best_test * std,
         "best_epoch": best_epoch,
         "train_time_s": time.time() - t0,
     }
+    if task == "link":
+        # hits@k companions of the test MRR at the best-val epoch (the
+        # reference logs hits@{1,3,10} alongside MRR)
+        for k, v in best_link_stats.items():
+            if k != "mrr":
+                out[f"best_test_{k}"] = v
+    return out
 
 
 def run_eval_only(cfg, ckpt_dir: str):
@@ -604,6 +715,44 @@ def run_eval_only(cfg, ckpt_dir: str):
     use_auc = task == "multilabel" and cfg.metric == "auc"
 
     def evaluate(graphs):
+        if task == "link":
+            from escgnn_tpu.data.prefetch import stack_split
+            from escgnn_tpu.train.metrics import graph_link_mrr
+
+            M = spec.max_nodes_per_graph
+
+            @jax.jit
+            def scores_pool(params, batch_stats, stacked):
+                def body(_, batch):
+                    emb = model.apply(
+                        {"params": params, "batch_stats": batch_stats},
+                        batch, deterministic=True,
+                        use_running_average=True,
+                    )
+                    G = batch.graph_mask.shape[0]
+                    dense = jnp.zeros((G, M, emb.shape[-1]), emb.dtype)
+                    dense = dense.at[
+                        batch.node_graph, batch.node_local
+                    ].set(jnp.where(batch.node_mask[:, None], emb, 0.0))
+                    return None, jnp.einsum("gmd,gnd->gmn", dense, dense)
+
+                _, s = jax.lax.scan(body, None, stacked)
+                return s
+
+            scores = np.asarray(scores_pool(
+                state.params, state.batch_stats, stack_split(graphs, spec)
+            ))
+            mrrs = []
+            for j, g in enumerate(graphs):
+                st = graph_link_mrr(
+                    scores[j // spec.num_graphs, j % spec.num_graphs],
+                    np.asarray(g.extras["pair_index"]),
+                    np.asarray(g.extras["pair_label"]),
+                    g.num_nodes,
+                )
+                if st:
+                    mrrs.append(st["mrr"])
+            return float(np.mean(mrrs)) if mrrs else 0.0
         if task == "node_classification":
             from escgnn_tpu.data.prefetch import stack_split
             from sklearn.metrics import f1_score
@@ -673,6 +822,7 @@ def run_eval_only(cfg, ckpt_dir: str):
         "multilabel": "auc" if use_auc else "ap",
         "node_classification": "f1",
         "sequence": "f1",
+        "link": "mrr",
     }.get(task, "mae")
     print(json.dumps({
         f"val_{key}": evaluate(splits["val"]) * std,
