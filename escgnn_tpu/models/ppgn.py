@@ -76,23 +76,30 @@ class RegularBlock(nn.Module):
 
 
 def diag_offdiag_meanpool(x, node_mask_dense, level="graph"):
-    """(G, N, N, C) -> graph: (G, 2C); node: (G, N, 2C).
+    """(G, N, N, C) -> graph: (G, 2C); node: (G, N, 2C). Output f32.
 
     Matches reference `diag_offdiag_meanpool` (`run_graphcount.py:197-205`)
     with true (unpadded) node counts.
-    """
-    m = node_mask_dense.astype(x.dtype)  # (G, N)
+
+    Reads x in ITS dtype and accumulates the reductions in f32
+    (`jnp.sum(..., dtype=f32)` upcasts each element before adding —
+    numerically identical to casting the whole grid first, which is
+    what this function's call site used to do, but halves the pooling
+    kernel's HBM read bytes on the bf16 stacks: the round-4 roofline
+    chase measured the fused pooling reduce at 87 MB / 68 GB/s / 10%
+    of the PPGN step, BASELINE.md round-4 verdicts)."""
+    m = node_mask_dense.astype(jnp.float32)  # (G, N)
     n_real = jnp.maximum(jnp.sum(m, axis=1), 1.0)  # (G,)
-    diag = jnp.einsum("gnnc->gnc", x)  # (G, N, C) (padding rows are 0)
+    diag = jnp.einsum("gnnc->gnc", x).astype(jnp.float32)  # padding rows 0
     if level == "graph":
         mean_diag = jnp.sum(diag, axis=1) / n_real[:, None]
-        total = jnp.sum(x, axis=(1, 2))
+        total = jnp.sum(x, axis=(1, 2), dtype=jnp.float32)
         denom = jnp.maximum(n_real * n_real - n_real, 1.0)
         mean_offdiag = (total - mean_diag * n_real[:, None]) / denom[:, None]
         return jnp.concatenate([mean_diag, mean_offdiag], axis=-1)
     # node level: row-sum + col-sum - 2*diag (reference keeps it unnormalized)
-    row = jnp.sum(x, axis=2)
-    col = jnp.sum(x, axis=1)
+    row = jnp.sum(x, axis=2, dtype=jnp.float32)
+    col = jnp.sum(x, axis=1, dtype=jnp.float32)
     off = row + col - 2 * diag
     return jnp.concatenate([diag, off], axis=-1)
 
@@ -110,6 +117,10 @@ class PPGNConfig:
     # float32 | bfloat16 regular-block stacks (f32 master params, f32
     # einsum accumulation, f32 head) — the flagship precision recipe
     compute_dtype: str = "float32"
+    # node-level pooling implementation: "xla" (fused by XLA) or
+    # "pallas" (ops/ppgn_pool.py one-pass kernel — the round-5 lever
+    # against the 68 GB/s pooling fusion, BASELINE.md r04 verdicts)
+    pool_impl: str = "xla"
 
 
 class PPGN(nn.Module):
@@ -180,9 +191,13 @@ class PPGN(nn.Module):
                 name=f"rb{i}",
             )(x, pmask)
 
-        level = "node" if cfg.node_level else "graph"
-        pooled = diag_offdiag_meanpool(x.astype(jnp.float32), nm,
-                                       level=level)
+        if cfg.node_level and cfg.pool_impl == "pallas":
+            from escgnn_tpu.ops.ppgn_pool import diag_row_col_pool
+
+            pooled = diag_row_col_pool(x)
+        else:
+            level = "node" if cfg.node_level else "graph"
+            pooled = diag_offdiag_meanpool(x, nm, level=level)
 
         h = pooled
         h = nn.relu(TorchDense(cfg.emb_dim, name="fc0")(h))
