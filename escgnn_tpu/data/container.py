@@ -161,6 +161,17 @@ class GraphBatch(struct.PyTreeNode):
     edges_per_seg: Optional[int] = struct.field(
         pytree_node=False, default=None
     )
+    # two-size bucketed per-copy layout (data/uniform_copies.py
+    # bucketize_copy_batch): copies are grouped into a SMALL region of
+    # Cs (n_s, e_s) blocks followed by a LARGE region of Cl (n_l, e_l)
+    # blocks — ((Cs, n_s, e_s), (Cl, n_l, e_l)). Region-local block
+    # index == copy segment id within the concatenated segment order.
+    # Trades one extra einsum dispatch per aggregation for the
+    # dataset-wide single-size block padding (~1.5x fewer padded edge
+    # slots on I2GNN bench shapes — the round-4 identified lever).
+    seg_regions: Optional[tuple] = struct.field(
+        pytree_node=False, default=None
+    )
 
     @property
     def num_nodes(self) -> int:

@@ -157,3 +157,220 @@ def uniformize_dataset(graphs, round_nodes: int = 1, round_edges: int = 1):
     """Uniformize a featurized copy-based dataset in one call."""
     n_c, e_c = copy_block_sizes(graphs, round_nodes, round_edges)
     return [uniformize_copies(g, n_c, e_c) for g in graphs]
+
+
+# ---------------------------------------------------------------------------
+# two-size bucketed block layout (round 5)
+# ---------------------------------------------------------------------------
+
+
+def choose_bucket_sizes(graphs) -> tuple:
+    """(n_s, e_s): the small-bucket block shape minimizing total padded
+    edge slots when copies with <= e_s edges pad to (n_s, e_s) and the
+    rest to the dataset-wide (n_c, e_c).
+
+    The round-4 A/B quantified the single-size layout's residual as
+    ~1.76-2.1x edge padding (BASELINE.md); on the I2GNN bench set a
+    two-size split cuts padded edge slots 2.09x -> 1.39x."""
+    n_sizes, e_sizes = [], []
+    for g in graphs:
+        lvl = np.asarray(g.extras[_copy_level_key(g)])
+        cn = np.bincount(lvl)
+        ei = np.asarray(g.edge_index)
+        ce = np.bincount(lvl[ei[1]], minlength=len(cn)) if g.num_edges \
+            else np.zeros(len(cn), np.int64)
+        n_sizes += cn.tolist()
+        e_sizes += ce.tolist()
+    n_sizes = np.asarray(n_sizes)
+    e_sizes = np.asarray(e_sizes)
+    e_max = int(e_sizes.max())
+    best = (np.inf, e_max, int(n_sizes.max()))
+    for t in np.unique(e_sizes):
+        small = e_sizes <= t
+        if not small.any() or small.all():
+            continue
+        cost = small.sum() * t + (~small).sum() * e_max
+        if cost < best[0]:
+            best = (cost, int(t), int(n_sizes[small].max()))
+    return best[2], best[1]
+
+
+def bucketize_copy_batch(batch, n_s: int, e_s: int,
+                         pad_small: int = 0, pad_large: int = 0):
+    """Re-lay a one-size copy-uniform GraphBatch (HOST numpy arrays)
+    into the two-size bucketed layout: copies whose real size fits
+    (n_s, e_s) move to a leading SMALL region of (n_s, e_s) blocks, the
+    rest to a trailing LARGE region of the original (n_c, e_c) blocks.
+    Segment ids are renumbered to the new copy order; every
+    node/edge/segment-aligned array moves by gather. `pad_small`/
+    `pad_large` grow the region block counts beyond this batch's needs
+    (so a pool of shuffled batches shares one compiled shape).
+
+    Returns a new host GraphBatch with `seg_regions` set (and
+    nodes_per_seg/edges_per_seg cleared). Numerically equivalent by
+    construction: masks move with their rows, padding edges park on
+    their block's trailing slot exactly like `uniformize_copies`."""
+    n_c = batch.nodes_per_seg
+    e_c = batch.edges_per_seg
+    assert n_c is not None and e_c is not None, "need a copy-uniform batch"
+    assert n_s <= n_c and e_s <= e_c, ((n_s, e_s), (n_c, e_c))
+    nm = np.asarray(batch.node_mask)
+    em = np.asarray(batch.edge_mask)
+    N, E = nm.shape[0], em.shape[0]
+    S = N // n_c
+    assert S * n_c == N and S * e_c == E, (N, E, n_c, e_c)
+    rn = nm.reshape(S, n_c).sum(1)
+    re_ = em.reshape(S, e_c).sum(1)
+    seg_mask = (
+        np.asarray(batch.segment2_mask) if batch.segment2_mask is not None
+        else np.asarray(batch.segment_mask)
+    )
+    assert seg_mask.shape[0] == S, (seg_mask.shape, S)
+    # valid rows/edges must be block prefixes (uniformize_copies layout)
+    real = np.flatnonzero(seg_mask)
+    small = real[(rn[real] <= n_s) & (re_[real] <= e_s)]
+    large = real[(rn[real] > n_s) | (re_[real] > e_s)]
+    cs = len(small) + pad_small
+    cl = len(large) + pad_large
+    # new slot of each old real block
+    slot = np.full(S, -1, np.int64)
+    slot[small] = np.arange(len(small))
+    slot[large] = cs + np.arange(len(large))
+    NN = cs * n_s + cl * n_c
+    EE = cs * e_s + cl * e_c
+
+    def node_offset(s):  # new node row offset of new slot s
+        s = np.asarray(s)
+        return np.where(s < cs, s * n_s, cs * n_s + (s - cs) * n_c)
+
+    def edge_offset(s):
+        s = np.asarray(s)
+        return np.where(s < cs, s * e_s, cs * e_s + (s - cs) * e_c)
+
+    # old node row -> new node row (valid rows only)
+    old_rows = np.flatnonzero(nm)
+    ob = old_rows // n_c  # old block
+    ol = old_rows % n_c   # local
+    assert np.all(slot[ob] >= 0)
+    new_rows = node_offset(slot[ob]) + ol
+    node_map = np.full(N, -1, np.int64)
+    node_map[old_rows] = new_rows
+
+    old_e = np.flatnonzero(em)
+    eb = old_e // e_c
+    el = old_e % e_c
+    assert np.all(el < np.where(slot[eb] < cs, e_s, e_c)), \
+        "valid edges must be block prefixes"
+    new_e = edge_offset(slot[eb]) + el
+
+    NG = batch.graph_mask.shape[0]
+
+    def move_nodes(a, fill):
+        a = np.asarray(a)
+        out = np.full((NN,) + a.shape[1:], fill, a.dtype)
+        out[new_rows] = a[old_rows]
+        return out
+
+    def move_edges(a, fill):
+        a = np.asarray(a)
+        out = np.full((EE,) + a.shape[1:], fill, a.dtype)
+        out[new_e] = a[old_e]
+        return out
+
+    def move_segments(a, fill):
+        a = np.asarray(a)
+        out = np.full((cs + cl,) + a.shape[1:], fill, a.dtype)
+        out[slot[real]] = a[real]
+        return out
+
+    # new parking slots: every edge parks on its block's trailing node
+    park_small = (np.repeat(np.arange(cs), e_s) * n_s + n_s - 1)
+    park_large = (cs * n_s
+                  + np.repeat(np.arange(cl), e_c) * n_c + n_c - 1)
+    park = np.concatenate([park_small, park_large]).astype(
+        np.asarray(batch.senders).dtype
+    )
+    senders = park.copy()
+    receivers = park.copy()
+    senders[new_e] = node_map[np.asarray(batch.senders)[old_e]]
+    receivers[new_e] = node_map[np.asarray(batch.receivers)[old_e]]
+
+    fields = dict(
+        senders=senders,
+        receivers=receivers,
+        node_mask=move_nodes(nm, False),
+        edge_mask=move_edges(em, False),
+        graph_mask=np.asarray(batch.graph_mask),
+        node_graph=move_nodes(batch.node_graph, NG),
+        node_local=move_nodes(
+            batch.node_local, int(np.asarray(batch.node_local).max())
+        ),
+    )
+    for name in ("x", "pos", "edge_attr"):
+        v = getattr(batch, name)
+        if v is not None:
+            mv = move_edges if name == "edge_attr" else move_nodes
+            fields[name] = mv(v, 0)
+    y = batch.y
+    if y is not None:
+        ya = np.asarray(y)
+        if ya.shape[0] == N:
+            fields["y"] = move_nodes(ya, 0)
+        elif ya.shape[0] == S:
+            fields["y"] = move_segments(ya, 0)
+        else:
+            fields["y"] = ya
+    # segment levels: rows permute to the new copy order
+    def remap_seg_ids(a):
+        # old copy ids -> new slots; padding rows -> out of range
+        ns = move_nodes(np.asarray(a).astype(np.int64), -1)
+        valid = (ns >= 0) & (ns < S)
+        valid &= np.where(valid, slot[np.clip(ns, 0, S - 1)], -1) >= 0
+        out = np.full(NN, cs + cl, np.asarray(a).dtype)
+        out[valid] = slot[ns[valid]]
+        return out
+
+    if batch.node_segment is not None:
+        fields["node_segment"] = remap_seg_ids(batch.node_segment)
+        fields["segment_graph"] = move_segments(batch.segment_graph, NG)
+        fields["segment_mask"] = move_segments(batch.segment_mask, False)
+    if batch.node_segment2 is not None:
+        fields["node_segment2"] = remap_seg_ids(batch.node_segment2)
+        fields["segment2_parent"] = move_segments(
+            batch.segment2_parent,
+            int(np.asarray(batch.segment2_parent).max()),
+        )
+        fields["segment2_mask"] = move_segments(batch.segment2_mask, False)
+    if batch.center_idx is not None:
+        ci = np.asarray(batch.center_idx)
+        out = np.full((cs + cl,) + ci.shape[1:], NN - 1, ci.dtype)
+        vals = node_map[ci[real]]
+        vals[vals < 0] = NN - 1
+        out[slot[real]] = vals
+        fields["center_idx"] = out
+    if batch.node_original is not None:
+        fields["node_original"] = move_nodes(
+            batch.node_original,
+            int(np.asarray(batch.node_original).max()),
+        )
+        fields["original_mask"] = np.asarray(batch.original_mask)
+    extras = None
+    if batch.extras:
+        extras = {}
+        for k, v in batch.extras.items():
+            va = np.asarray(v)
+            if va.ndim >= 1 and va.shape[0] == N:
+                extras[k] = move_nodes(va, 0)
+            elif va.ndim >= 1 and va.shape[0] == E:
+                extras[k] = move_edges(va, 0)
+            elif va.ndim >= 1 and va.shape[0] == S:
+                extras[k] = move_segments(va, 0)
+            else:
+                extras[k] = v
+    return batch.replace(
+        **fields,
+        extras=extras,
+        nodes_per_seg=None,
+        edges_per_seg=None,
+        seg_regions=((cs, n_s, e_s), (cl, n_c, e_c)),
+    )

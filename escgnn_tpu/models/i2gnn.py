@@ -194,6 +194,7 @@ class I2GNN(nn.Module):
             h = NGNNGINConv(
                 m_in=2 * m_in, m_out=cfg.hidden, edge_vocab=cfg.edge_vocab,
                 nodes_per_seg=batch.nodes_per_seg,
+                seg_regions=batch.seg_regions,
                 compute_dtype=cfg.compute_dtype,
                 name=f"conv{layer}",
             )(

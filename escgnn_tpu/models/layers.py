@@ -246,6 +246,35 @@ def _dense_local_aggregate(x, senders, receivers, edge_emb, edge_mask, n_u):
     return agg.reshape(N, H).astype(cdt)
 
 
+def _dense_local_aggregate_regions(
+    x, senders, receivers, edge_emb, edge_mask, regions
+):
+    """`_dense_local_aggregate` over the two-size bucketed copy layout
+    (GraphBatch.seg_regions): the node/edge arrays are [small region ‖
+    large region]; each region is itself a uniform block layout, so the
+    same one-hot einsum runs per region (two MXU dispatches instead of
+    one, against ~1.5x fewer padded edge slots — the round-4 identified
+    lever on the copy family, BASELINE.md)."""
+    (cs, n_s, e_s), (cl, n_l, e_l) = regions
+    outs = []
+    n_off = e_off = 0
+    for c, n_u, e_u in ((cs, n_s, e_s), (cl, n_l, e_l)):
+        if c == 0:
+            continue
+        ne, ee = c * n_u, c * e_u
+        outs.append(_dense_local_aggregate(
+            x[n_off:n_off + ne],
+            senders[e_off:e_off + ee] - n_off,
+            receivers[e_off:e_off + ee] - n_off,
+            edge_emb[e_off:e_off + ee],
+            edge_mask[e_off:e_off + ee],
+            n_u,
+        ))
+        n_off += ne
+        e_off += ee
+    return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
+
+
 class GINEConv(nn.Module):
     """PyG-semantics GINEConv over a padded edge list (see module docstring).
 

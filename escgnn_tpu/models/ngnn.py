@@ -56,6 +56,9 @@ class NGNNGINConv(nn.Module):
     m_out: int
     edge_vocab: int
     nodes_per_seg: "int | None" = None
+    # two-size bucketed copy layout (GraphBatch.seg_regions) — takes
+    # precedence over nodes_per_seg when set
+    seg_regions: "tuple | None" = None
     compute_dtype: str = "float32"
 
     @nn.compact
@@ -75,7 +78,15 @@ class NGNNGINConv(nn.Module):
             # master params, BN statistics stay f32 inside)
             x = x.astype(jnp.bfloat16)
             e = e.astype(jnp.bfloat16)
-        if self.nodes_per_seg is not None:
+        if self.seg_regions is not None:
+            from escgnn_tpu.models.layers import (
+                _dense_local_aggregate_regions,
+            )
+
+            agg = _dense_local_aggregate_regions(
+                x, senders, receivers, e, edge_mask, self.seg_regions
+            )
+        elif self.nodes_per_seg is not None:
             agg = _dense_local_aggregate(
                 x, senders, receivers, e, edge_mask, self.nodes_per_seg
             )
@@ -138,6 +149,7 @@ class NGNN(nn.Module):
             h = NGNNGINConv(
                 m_in=2 * m_in, m_out=cfg.hidden, edge_vocab=cfg.edge_vocab,
                 nodes_per_seg=batch.nodes_per_seg,
+                seg_regions=batch.seg_regions,
                 compute_dtype=cfg.compute_dtype,
                 name=f"conv{layer}",
             )(

@@ -166,6 +166,30 @@ def pool_copy_blocks(
     result rows align 1:1 with the copy-level segment arrays. Returns
     None when the batch is not copy-uniform (caller falls back to the
     masked sorted segment reduction)."""
+    regions = getattr(batch, "seg_regions", None)
+    if regions is not None:
+        (cs, n_s, _), (cl, n_l, _) = regions
+        if num_segments != cs + cl or values.shape[0] != (
+            cs * n_s + cl * n_l
+        ):
+            return None
+        outs = []
+        off = 0
+        for c, n in ((cs, n_s), (cl, n_l)):
+            if c == 0:
+                continue
+            v = values[off:off + c * n].reshape(c, n, *values.shape[1:])
+            m = batch.node_mask[off:off + c * n].reshape(c, n)
+            mm = m.reshape(m.shape + (1,) * (v.ndim - 2))
+            s = jnp.sum(jnp.where(mm, v, 0.0), axis=1)
+            if reduce == "mean":
+                cnt = jnp.maximum(jnp.sum(m.astype(s.dtype), axis=1), 1.0)
+                s = s / cnt.reshape((c,) + (1,) * (s.ndim - 1))
+            elif reduce != "sum":
+                raise ValueError(reduce)
+            outs.append(s)
+            off += c * n
+        return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
     n_c = getattr(batch, "nodes_per_seg", None)
     if n_c is None or values.shape[0] != num_segments * n_c:
         return None
