@@ -424,6 +424,46 @@ def bench_model(name, graphs, spec, model, loss_fn, n_iter,
                        bps_scanbody=sb)
 
 
+def flagship_spec(graphs, batch_size=None):
+    """The flagship bench batch spec — shared with the A/B tools so
+    their configs stay in parity with the bench (profile_step
+    name-join requirement, BASELINE.md methodology)."""
+    from escgnn_tpu.data.batching import BatchSpec
+
+    return BatchSpec.uniform(
+        graphs, batch_size or len(graphs), enc_layout="dedup"
+    )
+
+
+def flagship_model():
+    """The flagship bench model config (see flagship_spec)."""
+    from escgnn_tpu.models.nested_gin_eff import (
+        NestedGINEff,
+        NestedGINEffConfig,
+    )
+
+    return NestedGINEff(
+        NestedGINEffConfig(
+            hidden=256,
+            num_layers=5,
+            dropout=0.0,
+            act="elu",
+            graph_pred=True,
+            pool="add",
+            use_x_embedding_jk=False,
+            head_order="dropout_act",
+            node_embed_vocab=100,
+            node_embed_dim=32,
+            edge_embed_vocab=100,
+            edge_embed_dim=32,
+            # bf16 conv stacks (f32 master params + f32 loss/accumulation):
+            # the TPU-idiomatic precision for training; the f32 backward of
+            # the same step hits a ~20x slower XLA path (tools/ops_bench.py)
+            compute_dtype="bfloat16",
+        )
+    )
+
+
 def run_secondary(gsets):
     n_ppgn, n_other = (5, 10) if SMOKE else (50, 100)
     from escgnn_tpu.data.batching import BatchSpec
@@ -681,30 +721,11 @@ def main():
     # one-hot einsums on the MXU instead of global XLA gather/scatter.
     # Dedup encoding layout: molecular graphs repeat ESC histograms
     # heavily (~3.4x here), so the z-emb reduce runs on unique rows only.
-    spec = BatchSpec.uniform(graphs, batch_size, enc_layout="dedup")
+    spec = flagship_spec(graphs, batch_size)
     batch = jax.tree.map(jnp.asarray, pad_and_batch(graphs, spec))
     real_edges = int(np.sum([g.num_edges for g in graphs]))
 
-    model = NestedGINEff(
-        NestedGINEffConfig(
-            hidden=256,
-            num_layers=5,
-            dropout=0.0,
-            act="elu",
-            graph_pred=True,
-            pool="add",
-            use_x_embedding_jk=False,
-            head_order="dropout_act",
-            node_embed_vocab=100,
-            node_embed_dim=32,
-            edge_embed_vocab=100,
-            edge_embed_dim=32,
-            # bf16 conv stacks (f32 master params + f32 loss/accumulation):
-            # the TPU-idiomatic precision for training; the f32 backward of
-            # the same step hits a ~20x slower XLA path (tools/ops_bench.py)
-            compute_dtype="bfloat16",
-        )
-    )
+    model = flagship_model()
     rng = jax.random.key(0)
     variables = model.init(rng, batch)
     state = TrainState.create(
