@@ -609,9 +609,12 @@ def run_secondary(gsets):
     for g in graphs:
         seg = np.asarray(g.extras["node_to_subgraph"])
         max_sub = max(max_sub, int(np.bincount(seg).max()))
+    # round 5: bf16 RegularBlock stacks (flagship playbook; the flat
+    # PPGN's bf16 A/B gave 1.28x at equal shapes)
     model = NestedPPGN(NestedPPGNConfig(
         emb_dim=64, num_rb_layers=2, num_tasks=1, use_rd=True,
         max_nodes_per_subgraph=max_sub, classify=False,
+        compute_dtype="bfloat16",
     ))
     f = bench_model("nppgn", graphs, spec, model, l1_graph_loss, n_ppgn)
     lines.append(dict(
@@ -623,10 +626,12 @@ def run_secondary(gsets):
     from escgnn_tpu.models.gine_plus import GINEPlusConfig, GINEPlusNetwork
 
     graphs = gsets["ginep"]
-    spec = BatchSpec.from_graphs(graphs, batch_size=len(graphs))
+    # round 5: uniform per-graph blocks (scatter -> one-hot einsum on
+    # the MXU) + bf16 messages — the flagship playbook (VERDICT r04 #6)
+    spec = BatchSpec.uniform(graphs, batch_size=len(graphs))
     model = GINEPlusNetwork(GINEPlusConfig(
         hidden=100, out_dim=1, num_layers=6, dropout=0.0, k=3,
-        virtual_node=True,
+        virtual_node=True, compute_dtype="bfloat16",
     ))
     f = bench_model("ginep", graphs, spec, model, bce_graph_loss, n_other)
     lines.append(dict(

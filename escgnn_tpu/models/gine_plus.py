@@ -45,6 +45,11 @@ class GINEPlusConv(nn.Module):
 
     features: int
     k: int
+    # uniform per-graph block layout: scatter messages via per-graph
+    # one-hot einsums on the MXU instead of a global XLA scatter-add
+    # (the flagship playbook, round 5 — VERDICT r04 weak #4)
+    nodes_per_graph: "int | None" = None
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(
@@ -60,13 +65,26 @@ class GINEPlusConv(nn.Module):
         d = distance.astype(jnp.int32).reshape(-1)
         valid = edge_mask & (d >= 1) & (d <= k)
         dd = jnp.clip(d - 1, 0, k - 1)
+        if self.compute_dtype == "bfloat16":
+            # bf16 message/aggregation (f32 master params, f32 einsum
+            # accumulation — the flagship precision recipe)
+            hist = hist.astype(jnp.bfloat16)
+            bond_emb = bond_emb.astype(jnp.bfloat16)
         x_src = hist[dd, senders]  # (E, F)
         msg = x_src + jnp.where((d == 1)[:, None], bond_emb, 0.0)
-        msg = nn.relu(msg) * (1.0 + eps[jnp.clip(d, 0, k)])
-        agg = segment_sum(
-            msg, receivers, n, mask=valid, indices_are_sorted=True
+        msg = nn.relu(msg) * (1.0 + eps[jnp.clip(d, 0, k)]).astype(
+            msg.dtype
         )
-        h = (1.0 + eps[0]) * xx[0] + agg
+        if self.nodes_per_graph is not None:
+            from escgnn_tpu.models.layers import _dense_local_scatter
+
+            agg = _dense_local_scatter(msg, receivers, valid,
+                                       self.nodes_per_graph, n)
+        else:
+            agg = segment_sum(
+                msg, receivers, n, mask=valid, indices_are_sorted=True
+            )
+        h = (1.0 + eps[0]).astype(agg.dtype) * xx[0].astype(agg.dtype) + agg
         # MLP(dim -> 2 dim -> BN -> ReLU -> dim) (`gine_operations.py:24-35`)
         h = TorchDense(2 * F, name="mlp_0")(h)
         h = MaskedBatchNorm(name="mlp_bn")(h, node_mask, use_running_average)
@@ -86,6 +104,8 @@ class GINEPlusConfig:
     subgraph_pooling: str = "mean"  # mean | sum | max
     atom_encoder: bool = True  # OGB AtomEncoder; else Embed(node_vocab)
     node_vocab: int = 32
+    # float32 | bfloat16 conv stacks (flagship precision recipe)
+    compute_dtype: str = "float32"
 
 
 class GINEPlusNetwork(nn.Module):
@@ -132,7 +152,12 @@ class GINEPlusNetwork(nn.Module):
             bond_emb = FeatureSumEncoder(
                 BOND_FEATURE_DIMS, F, name=f"bond_encoder_{layer}"
             )(batch.edge_attr.astype(jnp.int32))
-            h = GINEPlusConv(F, k=min(layer + 1, cfg.k), name=f"conv{layer}")(
+            h = GINEPlusConv(
+                F, k=min(layer + 1, cfg.k),
+                nodes_per_graph=batch.nodes_per_graph,
+                compute_dtype=cfg.compute_dtype,
+                name=f"conv{layer}",
+            )(
                 xx, batch.senders, batch.receivers, distance, bond_emb,
                 edge_mask, node_mask, use_running_average=use_running_average,
             )

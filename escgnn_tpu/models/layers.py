@@ -246,6 +246,26 @@ def _dense_local_aggregate(x, senders, receivers, edge_emb, edge_mask, n_u):
     return agg.reshape(N, H).astype(cdt)
 
 
+def _dense_local_scatter(msg, receivers, edge_mask, n_u, num_nodes):
+    """Scatter-add per-edge messages to nodes on the uniform per-graph
+    layout as per-graph one-hot einsums (the scatter half of
+    `_dense_local_aggregate`, for convs whose gather side is irregular —
+    e.g. GINE+'s distance-indexed history gather)."""
+    E, H = msg.shape
+    G = num_nodes // n_u
+    e_u = E // G
+    assert G * n_u == num_nodes and G * e_u == E, (num_nodes, E, n_u)
+    recv_l = (receivers % n_u).reshape(G, e_u)
+    ar = jnp.arange(n_u, dtype=receivers.dtype)
+    oh_r = (recv_l[:, :, None] == ar[None, None, :]).astype(msg.dtype)
+    oh_r = oh_r * edge_mask.reshape(G, e_u, 1).astype(msg.dtype)
+    agg = jnp.einsum(
+        "gen,geh->gnh", oh_r, msg.reshape(G, e_u, H),
+        preferred_element_type=jnp.float32,
+    )
+    return agg.reshape(num_nodes, H).astype(msg.dtype)
+
+
 def _dense_local_aggregate_regions(
     x, senders, receivers, edge_emb, edge_mask, regions
 ):

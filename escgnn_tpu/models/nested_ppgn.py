@@ -43,14 +43,26 @@ def diag_offdiag_pool_masked(x, node_mask_dense, op: str):
     pair = m[:, :, None] & m[:, None, :]
     off = pair & ~jnp.eye(m.shape[1], dtype=bool)[None]
     if op == "mean":
-        n_real = jnp.maximum(jnp.sum(m, axis=1), 1.0)
-        d = jnp.sum(jnp.where(m[..., None], diag, 0.0), axis=1) / n_real[:, None]
+        # f32 accumulation of (possibly bf16) reads — identical math to
+        # casting the grid first, half the kernel's bytes (the same
+        # change as ppgn.diag_offdiag_meanpool, round 5)
+        n_real = jnp.maximum(
+            jnp.sum(m, axis=1, dtype=jnp.float32), 1.0
+        )
+        d = jnp.sum(
+            jnp.where(m[..., None], diag, 0), axis=1, dtype=jnp.float32
+        ) / n_real[:, None]
         denom = jnp.maximum(n_real * n_real - n_real, 1.0)
-        o = jnp.sum(jnp.where(off[..., None], x, 0.0), axis=(1, 2)) / denom[:, None]
+        o = jnp.sum(
+            jnp.where(off[..., None], x, 0), axis=(1, 2),
+            dtype=jnp.float32,
+        ) / denom[:, None]
         return jnp.concatenate([d, o], axis=-1)
     sign = 1.0 if op == "max" else -1.0
-    d = jnp.max(jnp.where(m[..., None], sign * diag, NEG), axis=1)
-    o = jnp.max(jnp.where(off[..., None], sign * x, NEG), axis=(1, 2))
+    xs = (sign * x).astype(jnp.float32)
+    ds = (sign * diag).astype(jnp.float32)
+    d = jnp.max(jnp.where(m[..., None], ds, NEG), axis=1)
+    o = jnp.max(jnp.where(off[..., None], xs, NEG), axis=(1, 2))
     d = jnp.where(d <= NEG, 0.0, d)
     o = jnp.where(o <= NEG, 0.0, o)
     return sign * jnp.concatenate([d, o], axis=-1)
@@ -82,6 +94,9 @@ class NestedPPGNConfig:
     graph_pred: bool = True  # False -> per-subgraph (node-level) outputs
     max_nodes_per_subgraph: int = 16  # M (static dense budget)
     classify: bool = True  # log_softmax head
+    # float32 | bfloat16 RegularBlock stacks (the flat PPGN's bf16
+    # recipe gave 1.28x at equal shapes — flagship playbook, round 5)
+    compute_dtype: str = "float32"
 
 
 class NestedPPGN(nn.Module):
@@ -151,10 +166,16 @@ class NestedPPGN(nn.Module):
         )
         z = jnp.concatenate([dense_edges, diag_dense], axis=-1)
 
+        cdt = (
+            jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
+            else jnp.float32
+        )
+        rb_dtype = cdt if cfg.compute_dtype == "bfloat16" else None
         pmask = _pair_mask(nm)
-        z = z * pmask
+        z = (z * pmask).astype(cdt)
         for i in range(cfg.num_rb_layers):
-            z = RegularBlock(cfg.emb_dim, cfg.depth_of_mlp, name=f"rb{i}")(
+            z = RegularBlock(cfg.emb_dim, cfg.depth_of_mlp,
+                             dtype=rb_dtype, name=f"rb{i}")(
                 z, pmask
             )
 
@@ -188,9 +209,10 @@ class NestedPPGN(nn.Module):
         )
         zg = jnp.concatenate([orig_adj[..., None], diag_g_dense], axis=-1)
         pmask_g = _pair_mask(sm)
-        zg = zg * pmask_g
+        zg = (zg * pmask_g).astype(cdt)
         for i in range(cfg.num_rb_layers):
-            zg = RegularBlock(cfg.emb_dim, cfg.depth_of_mlp, name=f"rb_g{i}")(
+            zg = RegularBlock(cfg.emb_dim, cfg.depth_of_mlp,
+                              dtype=rb_dtype, name=f"rb_g{i}")(
                 zg, pmask_g
             )
 
@@ -207,9 +229,11 @@ class NestedPPGN(nn.Module):
         # node-level: diag + row/col sums per subgraph slot, back to the
         # flat subgraph axis (subgraph s <-> original node s under
         # self-loop nesting; reference `kernel/ppgn.py:219-240`)
-        row = jnp.sum(jnp.where(pmask_g > 0, zg, 0.0), axis=2)
-        col = jnp.sum(jnp.where(pmask_g > 0, zg, 0.0), axis=1)
-        dg = jnp.einsum("gkkc->gkc", zg)
+        row = jnp.sum(jnp.where(pmask_g > 0, zg, 0), axis=2,
+                      dtype=jnp.float32)
+        col = jnp.sum(jnp.where(pmask_g > 0, zg, 0), axis=1,
+                      dtype=jnp.float32)
+        dg = jnp.einsum("gkkc->gkc", zg).astype(jnp.float32)
         feat = jnp.concatenate([dg, row + col - 2 * dg], axis=-1)  # (G,K,2emb)
         flat = feat[batch.segment_graph, sloc]  # (S, 2 emb)
         out = nn.relu(TorchDense(cfg.emb_dim, name="fc0")(flat))
