@@ -31,12 +31,25 @@ class SplitLogger:
 
     def __init__(self, split: str, task: str = "regression"):
         self.split = split
-        self.task = task  # regression | classification | multilabel
+        # regression | classification | multilabel | link
+        self.task = task
         self._preds: list[np.ndarray] = []
         self._trues: list[np.ndarray] = []
+        self._link_stats: list[dict] = []
         self._loss = 0.0
         self._n = 0
         self._t0 = time.time()
+
+    def update_link_stats(self, stats: dict):
+        """Accumulate one graph's ranking stats (mrr / hits@k from
+        `train.metrics.graph_link_mrr`) — the reference CustomLogger's
+        inductive-edge path collects `compute_mrr` outputs per batch
+        and averages them at epoch end
+        (`GraphGPS/graphgps/logger.py` + `head/inductive_edge.py:
+        105-113`). Empty dicts (graphs with no positives) are skipped
+        like the reference's empty stats."""
+        if stats:
+            self._link_stats.append(stats)
 
     def update(self, pred, true, mask, loss: Optional[float] = None):
         pred = np.asarray(pred)
@@ -55,6 +68,15 @@ class SplitLogger:
                      "time_s": round(time.time() - self._t0, 2)}
         if self._n:
             out["loss"] = self._loss / self._n
+        if self.task == "link":
+            keys = sorted({k for s in self._link_stats for k in s})
+            for k in keys:
+                vals = [s[k] for s in self._link_stats if k in s]
+                out[k] = float(np.mean(vals)) if vals else float("nan")
+            out["n"] = len(self._link_stats)
+            self._link_stats = []
+            self._t0 = time.time()
+            return out
         if pred.shape[0]:
             if self.task == "regression":
                 out["mae"] = float(np.mean(np.abs(pred - true)))

@@ -49,3 +49,19 @@ def test_run_logger_files(tmp_path):
     assert json.loads(lines[1])["val_mae"] == 1.0
     assert "epoch 002" in (tmp_path / "log.txt").read_text()
     rl.finish()
+
+
+def test_split_logger_link_task_mrr_hits():
+    from escgnn_tpu.train.logger import SplitLogger
+
+    lg = SplitLogger("val", task="link")
+    lg.update_link_stats({"mrr": 1.0, "hits@1": 1.0, "hits@10": 1.0})
+    lg.update_link_stats({"mrr": 0.25, "hits@1": 0.0, "hits@10": 1.0})
+    lg.update_link_stats({})  # no-positive graph: skipped
+    out = lg.epoch_summary()
+    assert out["mrr"] == 0.625
+    assert out["hits@1"] == 0.5
+    assert out["hits@10"] == 1.0
+    assert out["n"] == 2
+    # buffer reset
+    assert lg.epoch_summary()["n"] == 0
