@@ -196,7 +196,9 @@ def choose_bucket_sizes(graphs) -> tuple:
 
 
 def bucketize_copy_batch(batch, n_s: int, e_s: int,
-                         pad_small: int = 0, pad_large: int = 0):
+                         pad_small: int = 0, pad_large: int = 0,
+                         cs_budget: "int | None" = None,
+                         cl_budget: "int | None" = None):
     """Re-lay a one-size copy-uniform GraphBatch (HOST numpy arrays)
     into the two-size bucketed layout: copies whose real size fits
     (n_s, e_s) move to a leading SMALL region of (n_s, e_s) blocks, the
@@ -205,6 +207,13 @@ def bucketize_copy_batch(batch, n_s: int, e_s: int,
     node/edge/segment-aligned array moves by gather. `pad_small`/
     `pad_large` grow the region block counts beyond this batch's needs
     (so a pool of shuffled batches shares one compiled shape).
+
+    `cs_budget`/`cl_budget` PIN the region block counts instead (pool
+    path: every batch of every membership pool must share one compiled
+    shape). A batch with more small copies than `cs_budget` stays
+    CORRECT by demotion: the largest overflow small copies are placed
+    in the large region (always valid — n_s <= n_c, e_s <= e_c);
+    overflowing `cl_budget` raises, the caller sized the budgets.
 
     Returns a new host GraphBatch with `seg_regions` set (and
     nodes_per_seg/edges_per_seg cleared). Numerically equivalent by
@@ -230,8 +239,24 @@ def bucketize_copy_batch(batch, n_s: int, e_s: int,
     real = np.flatnonzero(seg_mask)
     small = real[(rn[real] <= n_s) & (re_[real] <= e_s)]
     large = real[(rn[real] > n_s) | (re_[real] > e_s)]
-    cs = len(small) + pad_small
-    cl = len(large) + pad_large
+    if cs_budget is not None:
+        if len(small) > cs_budget:
+            # demote the largest overflow smalls to the large region
+            order = np.argsort(re_[small], kind="stable")
+            keep, demote = (
+                small[order[:cs_budget]], small[order[cs_budget:]]
+            )
+            small = np.sort(keep)
+            large = np.sort(np.concatenate([large, demote]))
+        if len(large) > (cl_budget or 0):
+            raise ValueError(
+                f"cl_budget {cl_budget} < {len(large)} large copies "
+                f"(after demotion); size the budgets over all pools"
+            )
+        cs, cl = int(cs_budget), int(cl_budget)
+    else:
+        cs = len(small) + pad_small
+        cl = len(large) + pad_large
     # new slot of each old real block
     slot = np.full(S, -1, np.int64)
     slot[small] = np.arange(len(small))

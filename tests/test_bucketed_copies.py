@@ -163,3 +163,41 @@ def test_bucketize_with_region_padding():
     assert b.seg_regions[1][0] == a.seg_regions[1][0] + 2
     assert b.node_mask.sum() == a.node_mask.sum()
     assert b.edge_mask.sum() == a.edge_mask.sum()
+
+
+def test_bucketize_budget_demotion():
+    feats = uniformize_dataset(_featurize("i2"))
+    spec = BatchSpec.copy_uniform(feats, batch_size=len(feats), exact=True)
+    base = pad_and_batch(feats, spec)
+    n_c, e_c = base.nodes_per_seg, base.edges_per_seg
+    nm = np.asarray(base.node_mask)
+    em = np.asarray(base.edge_mask)
+    S = nm.shape[0] // n_c
+    re_ = em.reshape(S, e_c).sum(1)
+    seg_mask = np.asarray(base.segment2_mask)
+    real = np.flatnonzero(seg_mask)
+    e_s = int(np.median(re_[real]))
+    n_s = int(nm.reshape(S, n_c).sum(1)[real][re_[real] <= e_s].max())
+    free = bucketize_copy_batch(base, n_s, e_s)
+    cs0 = free.seg_regions[0][0]
+    cl0 = free.seg_regions[1][0]
+    # pin a tight small budget: overflow smalls demote to large slots
+    buck = bucketize_copy_batch(
+        base, n_s, e_s, cs_budget=cs0 - 5, cl_budget=cl0 + 10
+    )
+    assert buck.seg_regions[0][0] == cs0 - 5
+    assert buck.node_mask.sum() == base.node_mask.sum()
+    assert buck.edge_mask.sum() == base.edge_mask.sum()
+    # numerics survive demotion
+    import jax
+
+    from escgnn_tpu.models.i2gnn import I2GNN, I2GNNConfig
+    from escgnn_tpu.train.loop import l1_graph_loss
+
+    model = I2GNN(I2GNNConfig(num_layers=2, hidden=16, use_rd=True))
+    l0, _ = _loss_and_grads(model, base, l1_graph_loss)
+    l1, _ = _loss_and_grads(model, buck, l1_graph_loss)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-5)
+    # too-small large budget raises
+    with pytest.raises(ValueError):
+        bucketize_copy_batch(base, n_s, e_s, cs_budget=0, cl_budget=1)
