@@ -132,20 +132,28 @@ def _stack_host(batches: Sequence[GraphBatch]) -> GraphBatch:
     return jax.tree.map(lambda *xs: np.stack(xs), *batches)
 
 
-def stack_split(graphs: Sequence[GraphData], spec: BatchSpec) -> GraphBatch:
+def stack_split(graphs: Sequence[GraphData], spec: BatchSpec,
+                batch_transform=None) -> GraphBatch:
     """Pad a FIXED split once, stack along a new leading axis, and
     device-put: each eval/refresh pass over it is then ONE device
     dispatch (`lax.scan` over the leading axis in the pool_* steps),
-    instead of one tunnel round trip per batch."""
+    instead of one tunnel round trip per batch.
+
+    `batch_transform` (host batch -> host batch) applies to every
+    batch before stacking — e.g. the two-size bucketed copy re-layout
+    with pinned region budgets (data/uniform_copies.py); all
+    transformed batches must share one shape."""
     import jax
     import jax.numpy as jnp
 
-    return jax.tree.map(
-        jnp.asarray, _stack_host(list(batch_iterator(graphs, spec)))
-    )
+    batches = list(batch_iterator(graphs, spec))
+    if batch_transform is not None:
+        batches = [batch_transform(b) for b in batches]
+    return jax.tree.map(jnp.asarray, _stack_host(batches))
 
 
-def stack_split_compressed(graphs: Sequence[GraphData], spec: BatchSpec):
+def stack_split_compressed(graphs: Sequence[GraphData], spec: BatchSpec,
+                           batch_transform=None):
     """`stack_split` with lossless downcasting (data/compress.py):
     returns (device stack, decoder). Use for big eval splits that would
     otherwise pin f32 pools in HBM alongside a compressed train pool."""
@@ -154,7 +162,10 @@ def stack_split_compressed(graphs: Sequence[GraphData], spec: BatchSpec):
 
     from escgnn_tpu.data.compress import compress_tree, make_decoder
 
-    host = _stack_host(list(batch_iterator(graphs, spec)))
+    batches = list(batch_iterator(graphs, spec))
+    if batch_transform is not None:
+        batches = [batch_transform(b) for b in batches]
+    host = _stack_host(batches)
     host, metas = compress_tree(host)
     return jax.tree.map(jnp.asarray, host), make_decoder(metas)
 
@@ -166,6 +177,7 @@ def stacked_batch_pools(
     seed: int = 0,
     max_total_bytes: int = 4 * 2**30,
     compress: bool = False,
+    batch_transform=None,
 ) -> tuple[list, int, "object"]:
     """K membership-shuffled STACKED device-resident train pools, the
     per-epoch batch count, and the device-side batch decoder.
@@ -203,7 +215,12 @@ def stacked_batch_pools(
     while i < kk:
         order = rng.permutation(len(graphs))
         shuffled = [graphs[int(j)] for j in order]
-        host = _stack_host(list(batch_iterator(shuffled, spec)))
+        bs_list = list(batch_iterator(shuffled, spec))
+        if batch_transform is not None:
+            # e.g. bucketed copy re-layout with PINNED region budgets
+            # so every batch of every pool shares one compiled shape
+            bs_list = [batch_transform(b) for b in bs_list]
+        host = _stack_host(bs_list)
         if compress:
             if i == 0:
                 host, metas = compress_tree(host)

@@ -399,3 +399,41 @@ def bucketize_copy_batch(batch, n_s: int, e_s: int,
         edges_per_seg=None,
         seg_regions=((cs, n_s, e_s), (cl, n_c, e_c)),
     )
+
+
+def make_bucket_transform(pre_uniform_graphs, batch_size: int):
+    """Bucketed-layout batch transform for POOLED training (driver
+    `--copy_layout bucketed`): chooses (n_s, e_s) over the featurized
+    (pre-uniformize) dataset and pins region budgets at the worst-case
+    batch composition — the top-`batch_size` per-graph small/large copy
+    counts — so EVERY shuffled batch of every membership pool fits one
+    compiled shape (overflow smalls would demote, but with worst-case
+    budgets demotion never triggers).
+
+    Returns (transform, regions) where transform: host copy-uniform
+    GraphBatch -> bucketed GraphBatch."""
+    n_s, e_s = choose_bucket_sizes(pre_uniform_graphs)
+    smalls, larges = [], []
+    for g in pre_uniform_graphs:
+        lvl = np.asarray(g.extras[_copy_level_key(g)])
+        cn = np.bincount(lvl)
+        ei = np.asarray(g.edge_index)
+        ce = np.bincount(lvl[ei[1]], minlength=len(cn)) if g.num_edges \
+            else np.zeros(len(cn), np.int64)
+        sm = (cn <= n_s) & (ce <= e_s)
+        smalls.append(int(sm.sum()))
+        larges.append(int((~sm).sum()))
+    bs = int(batch_size)
+    cs_b = _round_up(sum(sorted(smalls, reverse=True)[:bs]) + 1, 8)
+    cl_b = _round_up(sum(sorted(larges, reverse=True)[:bs]) + 1, 8)
+
+    def transform(batch):
+        return bucketize_copy_batch(
+            batch, n_s, e_s, cs_budget=cs_b, cl_budget=cl_b
+        )
+
+    return transform, ((cs_b, n_s, e_s), (cl_b,))
+
+
+def _round_up(v: int, m: int) -> int:
+    return int(-(-int(v) // m) * m)

@@ -71,9 +71,12 @@ def main():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--num_graphs", type=int, default=2000)
     p.add_argument("--copy_layout", default="uniform",
-                   choices=["ragged", "uniform"],
+                   choices=["ragged", "uniform", "bucketed"],
                    help="NGNN/I2GNN batch layout: uniform per-copy "
-                        "blocks (einsum message passing; default) or "
+                        "blocks (einsum message passing; default), "
+                        "two-size bucketed blocks (round 5 — ~1.2x "
+                        "over uniform on I2GNN bench shapes, "
+                        "results_archive/copy_ab_bucketed), or "
                         "the ragged union")
     p.add_argument("--num_workers", type=int, default=2)
     p.add_argument("--data_dir", default="data")
@@ -172,6 +175,7 @@ def main():
     print(f"data: {time.time() - t0:.1f}s mean={mean:.3f} std={std:.3f}")
 
     all_graphs = [g for s in splits.values() for g in s]
+    batch_transform = None  # set by --copy_layout bucketed
     n_dev = (args.mesh_devices or len(jax.devices())) if (
         args.mesh != "none"
     ) else 0
@@ -199,13 +203,30 @@ def main():
         spec = BatchSpec.uniform(
             all_graphs, args.batch_size, enc_layout="dedup"
         )
-    elif args.model in ("NGNN", "I2GNN") and args.copy_layout == "uniform":
+    elif args.model in ("NGNN", "I2GNN") and args.copy_layout in (
+            "uniform", "bucketed"):
         # uniform per-COPY blocks (data/uniform_copies.py): per-copy
         # one-hot einsum message passing + reshape pooling, the round-4
         # answer to the copy-family scatter bottleneck; numerically
-        # equal to the ragged layout (tests/test_uniform_copies.py)
+        # equal to the ragged layout (tests/test_uniform_copies.py).
+        # "bucketed" additionally re-lays every batch into two block
+        # sizes (round 5; equality locked by tests/test_bucketed_copies)
         from escgnn_tpu.data.uniform_copies import uniformize_dataset
 
+        if args.copy_layout == "bucketed":
+            assert args.mesh == "none" and not args.reshuffle_membership, (
+                "--copy_layout bucketed supports the pooled single-"
+                "device path (use uniform with --mesh/--reshuffle)"
+            )
+            from escgnn_tpu.data.uniform_copies import (
+                make_bucket_transform,
+            )
+
+            batch_transform, regions = make_bucket_transform(
+                all_graphs, args.batch_size
+            )
+            print(f"bucketed copy layout: small region "
+                  f"{regions[0]}, large blocks {regions[1]}")
         uni = uniformize_dataset(all_graphs)
         for name in splits:
             k = len(splits[name])
@@ -255,9 +276,10 @@ def main():
         )
         model = NestedGINEff(zcfg)
     rng = jax.random.key(args.seed)
-    init_b = jax.tree.map(
-        jnp.asarray, next(batch_iterator(splits["train"][:2], spec))
-    )
+    init_host = next(batch_iterator(splits["train"][:2], spec))
+    if batch_transform is not None:
+        init_host = batch_transform(init_host)
+    init_b = jax.tree.map(jnp.asarray, init_host)
     variables = model.init(rng, init_b)
     state = TrainState.create(
         variables["params"], variables.get("batch_stats", {}),
@@ -323,6 +345,7 @@ def main():
             splits["train"], spec, k=args.membership_pools, seed=args.seed,
             compress=args.compress_pools,
             max_total_bytes=(10 if args.compress_pools else 4) * 2**30,
+            batch_transform=batch_transform,
         )
         pool_train_step = make_pool_train_step(
             model, l1_graph_loss, decode=pool_decode
@@ -330,17 +353,25 @@ def main():
     if args.compress_pools:
         from escgnn_tpu.data.prefetch import stack_split_compressed
 
-        val_stack, eval_decode = stack_split_compressed(splits["val"], spec)
-        test_stack, _ = stack_split_compressed(splits["test"], spec)
+        val_stack, eval_decode = stack_split_compressed(
+            splits["val"], spec, batch_transform=batch_transform
+        )
+        test_stack, _ = stack_split_compressed(
+            splits["test"], spec, batch_transform=batch_transform
+        )
         refresh_stack, _ = stack_split_compressed(
-            splits["train"][: 8 * args.batch_size], spec
+            splits["train"][: 8 * args.batch_size], spec,
+            batch_transform=batch_transform,
         )
     else:
         eval_decode = None
-        val_stack = stack_split(splits["val"], spec)
-        test_stack = stack_split(splits["test"], spec)
+        val_stack = stack_split(splits["val"], spec,
+                                batch_transform=batch_transform)
+        test_stack = stack_split(splits["test"], spec,
+                                 batch_transform=batch_transform)
         refresh_stack = stack_split(
-            splits["train"][: 8 * args.batch_size], spec
+            splits["train"][: 8 * args.batch_size], spec,
+            batch_transform=batch_transform,
         )
     if mesh is not None:
         if args.mesh == "dp":

@@ -41,7 +41,7 @@ def main():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--num_graphs", type=int, default=1000)
     p.add_argument("--copy_layout", default="uniform",
-                   choices=["ragged", "uniform"],
+                   choices=["ragged", "uniform", "bucketed"],
                    help="NGNN/I2GNN batch layout: uniform per-copy "
                         "blocks (einsum message passing; default) or "
                         "the ragged union")
@@ -149,6 +149,7 @@ def main():
     )
 
     all_graphs = [g for s in splits.values() for g in s]
+    batch_transform = None  # set by --copy_layout bucketed
     if args.model == "NestedGIN_eff":
         # uniform per-graph blocks + dedup ESC rows: the fast layout the
         # flagship bench uses (einsum message passing on the MXU, z-emb
@@ -157,12 +158,27 @@ def main():
         spec = BatchSpec.uniform(
             all_graphs, args.batch_size, enc_layout="dedup"
         )
-    elif args.model in ("NGNN", "I2GNN") and args.copy_layout == "uniform":
+    elif args.model in ("NGNN", "I2GNN") and args.copy_layout in (
+            "uniform", "bucketed"):
         # uniform per-COPY blocks (data/uniform_copies.py): per-copy
         # one-hot einsum message passing + reshape pooling; numerically
-        # equal to the ragged layout (tests/test_uniform_copies.py)
+        # equal to the ragged layout (tests/test_uniform_copies.py).
+        # "bucketed": two-size blocks (round 5, tests/test_bucketed_copies)
         from escgnn_tpu.data.uniform_copies import uniformize_dataset
 
+        if args.copy_layout == "bucketed":
+            assert not args.reshuffle_membership, (
+                "--copy_layout bucketed supports the pooled path"
+            )
+            from escgnn_tpu.data.uniform_copies import (
+                make_bucket_transform,
+            )
+
+            batch_transform, regions = make_bucket_transform(
+                all_graphs, args.batch_size
+            )
+            print(f"bucketed copy layout: small region "
+                  f"{regions[0]}, large blocks {regions[1]}")
         uni = uniformize_dataset(all_graphs)
         for name in splits:
             k = len(splits[name])
@@ -215,9 +231,10 @@ def main():
             )
         )
     rng = jax.random.key(args.seed)
-    init_b = jax.tree.map(
-        jnp.asarray, next(batch_iterator(splits["train"][:2], spec))
-    )
+    init_host = next(batch_iterator(splits["train"][:2], spec))
+    if batch_transform is not None:
+        init_host = batch_transform(init_host)
+    init_b = jax.tree.map(jnp.asarray, init_host)
     variables = model.init(rng, init_b)
     state = TrainState.create(
         variables["params"], variables.get("batch_stats", {}),
@@ -246,11 +263,15 @@ def main():
     # the reference's exact per-epoch semantics.
     if not args.reshuffle_membership:
         stacked_pools, num_train_batches, _ = stacked_batch_pools(
-            splits["train"], spec, k=args.membership_pools, seed=args.seed
+            splits["train"], spec, k=args.membership_pools, seed=args.seed,
+            batch_transform=batch_transform,
         )
-    val_stack = stack_split(splits["val"], spec)
-    test_stack = stack_split(splits["test"], spec)
-    refresh_stack = stack_split(splits["train"][: 8 * args.batch_size], spec)
+    val_stack = stack_split(splits["val"], spec,
+                            batch_transform=batch_transform)
+    test_stack = stack_split(splits["test"], spec,
+                             batch_transform=batch_transform)
+    refresh_stack = stack_split(splits["train"][: 8 * args.batch_size],
+                                spec, batch_transform=batch_transform)
     if seg_level:
         @jax.jit
         def eval_pool(params, batch_stats, stacked):

@@ -44,10 +44,9 @@ def main():
     real_edges = int(np.sum([g.num_edges for g in graphs]))
     batch = jax.tree.map(jnp.asarray, pad_and_batch(graphs, spec))
     for mu_dtype in (None, jnp.bfloat16):
-        adam = optax.inject_hyperparams(optax.adam)(
-            learning_rate=5e-4, mu_dtype=mu_dtype
-        )
-        tx = optax.flatten(adam)
+        # no inject_hyperparams here: it would trace mu_dtype as a
+        # hyperparameter (unhashable); the A/B needs no LR control
+        tx = optax.flatten(optax.adam(5e-4, mu_dtype=mu_dtype))
         variables = model.init(jax.random.key(0), batch)
         state = TrainState.create(
             variables["params"], variables.get("batch_stats", {}), tx
