@@ -146,3 +146,94 @@ def contact_splits(
         "val": graphs[n_tr:n_tr + n_val],
         "test": graphs[n_tr + n_val:],
     }, False
+
+
+def synthetic_ogbl(
+    num_nodes: int = 600,
+    seed: int = 0,
+    dim: int = 8,
+    num_neg_per_pos: int = 2,
+) -> dict:
+    """ogbl-* -shaped TRANSDUCTIVE link prediction (reference
+    master_loader.py:224-235: `load_ogb('ogbl-…')` with
+    train/val/test_edge_label splits on ONE graph).
+
+    A dot-product random graph: latent z_i ~ N(0, I_d)/sqrt(d), edges
+    sampled w.p. sigmoid(4·z_i·z_j − 1) — so dot-decoded node
+    embeddings are exactly the right hypothesis class and a working
+    pipeline must beat random ranking by a wide margin. Positive edges
+    split 80/10/10 into per-split labeled pairs with
+    `num_neg_per_pos` uniform tail corruptions each; the message-
+    passing graph carries TRAIN positives only (the standard ogbl
+    protocol — val/test edges are never seen by propagation)."""
+    rng = np.random.default_rng(seed)
+    z = rng.normal(size=(num_nodes, dim)) / np.sqrt(dim)
+    logits = 8.0 * (z @ z.T) - 7.0  # avg degree ~12 at n=600 (collab-like)
+    prob = 1.0 / (1.0 + np.exp(-logits))
+    upper = np.triu(rng.random((num_nodes, num_nodes)) < prob, k=1)
+    a, b = np.nonzero(upper)
+    order = rng.permutation(len(a))
+    a, b = a[order], b[order]
+    n_tr = int(0.8 * len(a))
+    n_val = int(0.1 * len(a))
+    groups = {
+        "train": (a[:n_tr], b[:n_tr]),
+        "val": (a[n_tr:n_tr + n_val], b[n_tr:n_tr + n_val]),
+        "test": (a[n_tr + n_val:], b[n_tr + n_val:]),
+    }
+    # message-passing edges: symmetrized TRAIN positives
+    ta, tb = groups["train"]
+    ei = np.stack([
+        np.concatenate([ta, tb]), np.concatenate([tb, ta]),
+    ]).astype(np.int32)
+    deg = np.bincount(ei[0], minlength=num_nodes).astype(np.int32)
+    x = np.clip(deg, 0, 15)[:, None]  # degree-bucket feature
+    out = {}
+    for split, (pa, pb) in groups.items():
+        pos = np.stack([
+            np.concatenate([pa, pb]), np.concatenate([pb, pa]),
+        ]).astype(np.int32)
+        P = pos.shape[1]
+        neg_heads = np.repeat(pos[0], num_neg_per_pos)
+        neg_tails = rng.integers(
+            0, num_nodes, size=P * num_neg_per_pos
+        ).astype(np.int32)
+        true_tails = np.repeat(pos[1], num_neg_per_pos)
+        coll = neg_tails == true_tails
+        neg_tails[coll] = (neg_tails[coll] + 1) % num_nodes
+        pair_index = np.concatenate(
+            [pos, np.stack([neg_heads, neg_tails])], axis=1
+        ).astype(np.int32)
+        pair_label = np.concatenate([
+            np.ones(P, np.float32),
+            np.zeros(P * num_neg_per_pos, np.float32),
+        ])
+        out[split] = [GraphData(
+            num_nodes=num_nodes, edge_index=ei, x=x,
+            edge_attr=np.zeros(ei.shape[1], np.int32),
+            y=np.zeros(1, np.float32),
+            extras={"pair_index": pair_index, "pair_label": pair_label},
+        )]
+    return out
+
+
+def ogbl_splits(
+    data_dir: str,
+    name: str = "ogbl-collab",
+    num_nodes: int = 600,
+    seed: int = 0,
+) -> tuple[dict, bool]:
+    """(splits, is_real). Real-if-present:
+    `<data_dir>/<name with _>/raw/<split>.npz` per-split files in the
+    featurize-cache layout (graph + pair extras); otherwise
+    `synthetic_ogbl`."""
+    import os
+
+    raw_dir = os.path.join(data_dir, name.replace("-", "_"), "raw")
+    paths = {s: os.path.join(raw_dir, f"{s}.npz")
+             for s in ("train", "val", "test")}
+    if all(os.path.exists(p) for p in paths.values()):
+        from escgnn_tpu.featurize.cache import load_graphs
+
+        return {s: load_graphs(p) for s, p in paths.items()}, True
+    return synthetic_ogbl(num_nodes=num_nodes, seed=seed), False

@@ -200,6 +200,23 @@ def build_dataset(cfg, seed: int):
         )
         print(f"{d.name}: real={is_real}")
         raw_splits = node_split_copies(g, seed=seed)
+    elif d.name in ("pattern", "cluster"):
+        # GNNBenchmark SBM node classification (reference
+        # master_loader.py:331-343 GNNBenchmarkDataset PATTERN/CLUSTER)
+        from escgnn_tpu.data.sbm import sbm_splits
+
+        raw_splits = sbm_splits(
+            d.name, num_graphs=d.num_graphs, seed=seed
+        )
+    elif d.name.startswith("ogbl-"):
+        # transductive link prediction on one graph with per-split
+        # labeled edge sets (reference master_loader.py:224-235)
+        from escgnn_tpu.data.contact import ogbl_splits
+
+        raw_splits, is_real = ogbl_splits(
+            d.dir, d.name, num_nodes=max(d.num_graphs, 100), seed=seed
+        )
+        print(f"{d.name}: real={is_real}")
     elif d.name.startswith("pcqm4mv2contact"):
         # inductive link prediction (molecular contact maps; reference
         # master_loader.py:236-237,527-557) — graphs carry labeled

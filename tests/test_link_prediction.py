@@ -224,3 +224,61 @@ def test_pcqm4mv2_splits_modes():
     # the synthetic HOMO-LUMO-like target is structural and nonconstant
     ys = np.array([float(g.y[0]) for g in full["train"]])
     assert ys.std() > 0
+
+
+def test_sbm_pattern_cluster_shapes():
+    from escgnn_tpu.data.sbm import sbm_splits
+
+    for name, n_cls in (("pattern", 2), ("cluster", 6)):
+        splits = sbm_splits(name, num_graphs=12, seed=0)
+        assert [len(splits[s]) for s in ("train", "val", "test")] == \
+            [9, 1, 2]
+        g = splits["train"][0]
+        y = np.asarray(g.y).reshape(-1)
+        assert y.shape[0] == g.num_nodes
+        assert set(np.unique(y)) <= set(range(n_cls))
+        if name == "cluster":
+            # exactly one revealed seed per community
+            x = np.asarray(g.x).reshape(-1)
+            for c in range(6):
+                assert (x == c + 1).sum() == 1
+
+
+def test_synthetic_ogbl_protocol():
+    from escgnn_tpu.data.contact import synthetic_ogbl
+
+    splits = synthetic_ogbl(num_nodes=200, seed=0)
+    g_tr = splits["train"][0]
+    # all three splits share the SAME message-passing graph (train
+    # positives only)
+    for s in ("val", "test"):
+        np.testing.assert_array_equal(
+            g_tr.edge_index, splits[s][0].edge_index
+        )
+    # train positives == message-passing edges
+    pos = g_tr.extras["pair_index"][:, g_tr.extras["pair_label"] == 1]
+    kp = set(map(tuple, pos.T.tolist()))
+    ke = set(map(tuple, np.asarray(g_tr.edge_index).T.tolist()))
+    assert kp == ke
+    # val/test positives are NOT in the propagation graph
+    for s in ("val", "test"):
+        gx = splits[s][0]
+        p = gx.extras["pair_index"][:, gx.extras["pair_label"] == 1]
+        assert not (set(map(tuple, p.T.tolist())) & ke)
+
+
+def test_ogbl_splits_real_branch(tmp_path):
+    from escgnn_tpu.data.contact import ogbl_splits, synthetic_ogbl
+    from escgnn_tpu.featurize.cache import save_graphs
+
+    syn = synthetic_ogbl(num_nodes=100, seed=3)
+    raw = tmp_path / "ogbl_collab" / "raw"
+    raw.mkdir(parents=True)
+    for s in ("train", "val", "test"):
+        save_graphs(str(raw / f"{s}.npz"), syn[s])
+    splits, is_real = ogbl_splits(str(tmp_path), "ogbl-collab")
+    assert is_real
+    np.testing.assert_array_equal(
+        splits["test"][0].extras["pair_index"],
+        syn["test"][0].extras["pair_index"],
+    )
