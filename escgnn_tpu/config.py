@@ -94,7 +94,10 @@ DEFAULTS = {
         # ogbg-molhiv | ogbg-molpcba | ogbg-ppa | ogbg-code2 | malnet-tiny |
         # pcqm4mv2-{subset,full,inference} (OGB-LSC graph regression) |
         # pcqm4mv2contact-{shuffle,num-atoms} (inductive link prediction,
-        # task: link) | wikipedia-{chameleon,squirrel}
+        # task: link) | ogbl-* (transductive link, task: link; one graph,
+        # per-split labeled edge sets, num_graphs = synthetic node count) |
+        # pattern | cluster (GNNBenchmark SBM node classification) |
+        # wikipedia-{chameleon,squirrel}
         # (run_gps.build_dataset — the master_loader zoo)
         "name": "zinc-synthetic",
         "dir": "data",
