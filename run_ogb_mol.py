@@ -86,6 +86,11 @@ def main():
                    help="after training, dump the K worst-loss test "
                         "graphs to worst.json (reference's loss-sorted "
                         "visualization, run_ogb_mol.py:153-192)")
+    p.add_argument("--layout", default="uniform",
+                   choices=["uniform", "ragged"],
+                   help="batch layout for GNN/GINEPlus: uniform "
+                        "per-graph blocks (einsum message passing, "
+                        "the bench layout) or the ragged union")
     p.add_argument("--synth_label", default="parity",
                    choices=["parity", "tri"],
                    help="synthetic stand-in label function when no real "
@@ -178,7 +183,19 @@ def main():
         )
 
     all_graphs = [g for s in splits.values() for g in s]
-    spec = BatchSpec.from_graphs(all_graphs, batch_size=args.batch_size)
+    if args.layout == "uniform" and args.model in ("GNN", "GINEPlus"):
+        # the bench layouts (round 5): uniform per-graph blocks turn
+        # gather/scatter into per-graph one-hot einsums; the GNN path
+        # additionally deduplicates ESC rows (numerically equal —
+        # tests/test_zemb_dedup.py, tests/test_playbook_r5.py)
+        spec = BatchSpec.uniform(
+            all_graphs, batch_size=args.batch_size,
+            enc_layout="dedup" if args.model == "GNN" else "width",
+        )
+    else:
+        spec = BatchSpec.from_graphs(
+            all_graphs, batch_size=args.batch_size
+        )
     print("spec:", spec)
 
     if args.model == "GINEPlus":
