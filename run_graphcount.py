@@ -109,6 +109,10 @@ def main():
     p.add_argument("--patience", type=int, default=10)
     p.add_argument("--epochs", type=int, default=100)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--load_ckpt", default=None,
+                   help="warm-start params/BN stats from this ckpt dir "
+                        "(a previous run's res_dir/ckpt — the "
+                        "reference's --load_model role)")
     p.add_argument("--data_seed", type=int, default=0)
     p.add_argument("--num_graphs", type=int, default=1500)
     p.add_argument("--num_workers", type=int, default=0)
@@ -249,9 +253,27 @@ def main():
     )
     variables = model.init(rng, init_batch)
     tx = adam_with_plateau(args.lr, grad_clip=args.grad_clip)
-    state = TrainState.create(
-        variables["params"], variables.get("batch_stats", {}), tx
-    )
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    if args.load_ckpt:
+        # warm start from a previous run's best checkpoint (the
+        # reference's --load_model, run_graphcount.py:472-474); the
+        # optimizer restarts fresh — this is the segment-resume path
+        # for runs interrupted by the environment (dispatch wedges)
+        from escgnn_tpu.train.checkpoint import CheckpointManager
+
+        pre = CheckpointManager(args.load_ckpt)
+        restored = pre.restore(template={
+            "params": params, "batch_stats": batch_stats,
+        })
+        assert restored is not None, (
+            f"--load_ckpt {args.load_ckpt!r} has no checkpoint"
+        )
+        params = restored["params"]
+        batch_stats = restored["batch_stats"]
+        print(f"warm-started from {args.load_ckpt} "
+              f"(step {pre.latest_step()})")
+    state = TrainState.create(params, batch_stats, tx)
     n_params = sum(x.size for x in jax.tree.leaves(state.params))
     print(f"params: {n_params / 1e6:.2f}M")
 
