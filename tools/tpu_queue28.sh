@@ -51,9 +51,7 @@ run_if() {
 for seg in 1 2 3; do
   EXTRA=""
   PREV="results/cgra_t4_seg$((seg - 1))/ckpt"
-  if [ "$seg" -gt 1 ] && [ -d "$PREV" ] && \
-     python -c "import sys; sys.exit(0)" && \
-     grep -q -- "--load_ckpt" run_graphcount.py; then
+  if [ "$seg" -gt 1 ] && [ -d "$PREV" ]; then
     EXTRA="--load_ckpt $PREV"
   fi
   run_if 3300 cgra_t4_seg$seg python -u run_graphcount.py \
