@@ -186,8 +186,12 @@ def synthetic_ogbl(
     ei = np.stack([
         np.concatenate([ta, tb]), np.concatenate([tb, ta]),
     ]).astype(np.int32)
-    deg = np.bincount(ei[0], minlength=num_nodes).astype(np.int32)
-    x = np.clip(deg, 0, 15)[:, None]  # degree-bucket feature
+    # node features: noisy linear view of the latent positions (real
+    # ogbl-collab ships 128-dim word embeddings that are likewise
+    # informative of link structure); node_encoder "linear" recovers
+    # embeddings from them — the pipeline is tested on
+    # features -> embeddings -> dot ranking, not on memorizing ids
+    x = (z + 0.25 * rng.normal(size=z.shape)).astype(np.float32)
     out = {}
     for split, (pa, pb) in groups.items():
         pos = np.stack([
